@@ -33,8 +33,13 @@ EMOTIONS: Tuple[str, ...] = (
 NUM_CLASSES = len(EMOTIONS)
 
 
+class _Replaceable:
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
 @dataclasses.dataclass(frozen=True)
-class TextConfig:
+class TextConfig(_Replaceable):
     """Text branch: vocab lookup -> embedding matrix -> aggregate -> head."""
 
     vocab_size: int = 50_000
@@ -51,7 +56,7 @@ class TextConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class ImageConfig:
+class ImageConfig(_Replaceable):
     """Image branch: TF-Slim-semantics Inception-v3 (SURVEY.md §2a #5)."""
 
     image_size: int = 299
@@ -69,7 +74,7 @@ class ImageConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class DataConfig:
+class DataConfig(_Replaceable):
     data_dir: str = ""
     split_name: str = "train"
     records_pattern: str = ""     # glob of TFRecord/ArrayRecord shards
@@ -85,7 +90,7 @@ class DataConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class MeshConfig:
+class MeshConfig(_Replaceable):
     """Device mesh for pjit data parallelism (SURVEY.md §2c).
 
     The reference is single-device; DP over ICI is the one real parallelism
@@ -99,7 +104,7 @@ class MeshConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class TrainConfig:
+class TrainConfig(_Replaceable):
     batch_size: int = 32
     eval_batch_size: int = 64
     learning_rate: float = 1e-3
@@ -125,7 +130,7 @@ class TrainConfig:
 
 
 @dataclasses.dataclass(frozen=True)
-class Config:
+class Config(_Replaceable):
     name: str = "default"
     model: str = "joint"          # "text" | "image" | "joint"
     text: TextConfig = TextConfig()
@@ -133,9 +138,6 @@ class Config:
     data: DataConfig = DataConfig()
     mesh: MeshConfig = MeshConfig()
     train: TrainConfig = TrainConfig()
-
-    def replace(self, **kw) -> "Config":
-        return dataclasses.replace(self, **kw)
 
 
 def _p(**kw) -> Config:

@@ -1,0 +1,405 @@
+"""Training + evaluation loops: one jit-compiled XLA program per step.
+
+Replaces the reference's L3 (SURVEY.md §3.1): slim's ``create_train_op`` +
+Supervisor loop crossed Python->C++ per ``session.run``; here the whole step
+(optional device-side preprocessing, forward, loss with aux head + L2
+regularization, backward, optimizer update, BN moving-stat updates) is ONE
+jitted function with donated state, executed under a device mesh with the
+batch sharded on the "data" axis — XLA inserts the gradient all-reduce over
+ICI (SURVEY.md §2c).
+
+Loss math mirrors slim: mean softmax cross-entropy, plus
+``aux_loss_weight`` * CE on AuxLogits when present, plus TF-style L2
+(``wd * sum(w^2)/2``) over conv/dense kernels only (not biases/BN/embeddings,
+matching slim's arg_scope regularizer placement).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import logging
+import time
+from typing import Any, Callable, Dict, Iterable, Iterator, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import traverse_util
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tumblr_emotions_tpu.config import Config
+from tumblr_emotions_tpu.data import preprocessing as pp
+from tumblr_emotions_tpu.models import (
+    DeepSentimentModel, InceptionV3, TextEmotionModel)
+from tumblr_emotions_tpu.parallel import mesh as mesh_lib
+from tumblr_emotions_tpu.utils import metrics as metrics_lib
+
+log = logging.getLogger("tumblr_emotions_tpu")
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+# ---------------------------------------------------------------------------
+# Model factory
+# ---------------------------------------------------------------------------
+
+def build_model(cfg: Config):
+    """Config -> (flax module, forward(variables, batch, train, rngs)).
+
+    The forward closure hides the three model signatures behind one batch
+    dict: image [B,H,W,C] (f32 model-ready or uint8 raw), tokens [B,T],
+    lengths [B], label [B].
+    """
+    dtype = jnp.bfloat16 if cfg.train.precision_mode == "perf" else jnp.float32
+    if cfg.model == "text":
+        model = TextEmotionModel(
+            vocab_size=cfg.text.vocab_size, embed_dim=cfg.text.embed_dim,
+            num_classes=cfg.image.num_classes, aggregator=cfg.text.aggregator,
+            rnn_hidden=cfg.text.rnn_hidden, hidden_dim=cfg.text.hidden_dim,
+            pad_id=cfg.text.pad_id, dtype=dtype)
+
+        def forward(variables, batch, train, rngs=None, mutable=False):
+            return model.apply(variables, batch["tokens"],
+                               batch.get("lengths"), train=train,
+                               rngs=rngs, mutable=mutable)
+    elif cfg.model == "image":
+        model = InceptionV3(
+            num_classes=cfg.image.num_classes,
+            depth_multiplier=cfg.image.depth_multiplier,
+            min_depth=cfg.image.min_depth,
+            dropout_keep_prob=cfg.image.dropout_keep_prob,
+            create_aux_logits=cfg.image.create_aux_logits,
+            bn_momentum=cfg.image.bn_momentum, bn_epsilon=cfg.image.bn_epsilon,
+            bn_scale=cfg.image.bn_scale, dtype=dtype, name="InceptionV3")
+
+        def forward(variables, batch, train, rngs=None, mutable=False):
+            return model.apply(variables, batch["image"], train=train,
+                               rngs=rngs, mutable=mutable)
+    elif cfg.model == "joint":
+        model = DeepSentimentModel(
+            vocab_size=cfg.text.vocab_size, embed_dim=cfg.text.embed_dim,
+            num_classes=cfg.image.num_classes, aggregator=cfg.text.aggregator,
+            rnn_hidden=cfg.text.rnn_hidden,
+            dropout_keep_prob=cfg.image.dropout_keep_prob,
+            create_aux_logits=cfg.image.create_aux_logits, dtype=dtype)
+
+        def forward(variables, batch, train, rngs=None, mutable=False):
+            return model.apply(variables, batch["image"], batch["tokens"],
+                               batch.get("lengths"), train=train,
+                               rngs=rngs, mutable=mutable)
+    else:
+        raise ValueError(f"unknown model type {cfg.model!r}")
+    return model, forward
+
+
+# ---------------------------------------------------------------------------
+# Optimizer (slim-style schedules + scope freezing)
+# ---------------------------------------------------------------------------
+
+def _lr_schedule(cfg: Config) -> optax.Schedule:
+    t = cfg.train
+    if t.lr_decay_steps > 0:
+        return optax.exponential_decay(
+            t.learning_rate, transition_steps=t.lr_decay_steps,
+            decay_rate=t.lr_decay_factor, staircase=True)
+    return optax.constant_schedule(t.learning_rate)
+
+
+def make_optimizer(cfg: Config, params=None) -> optax.GradientTransformation:
+    t = cfg.train
+    lr = _lr_schedule(cfg)
+    if t.optimizer == "rmsprop":
+        # slim fine-tune default: decay 0.9, momentum 0.9, epsilon 1.0.
+        opt = optax.rmsprop(lr, decay=t.rmsprop_decay, eps=t.rmsprop_epsilon,
+                            momentum=t.momentum)
+    elif t.optimizer == "adam":
+        opt = optax.adam(lr)
+    elif t.optimizer == "sgd":
+        opt = optax.sgd(lr, momentum=t.momentum or None)
+    else:
+        raise ValueError(f"unknown optimizer {t.optimizer!r}")
+    if t.grad_clip_norm > 0:
+        opt = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), opt)
+    if t.trainable_scopes and params is not None:
+        scopes = tuple(s.strip() for s in t.trainable_scopes.split(",") if s.strip())
+
+        def label(path: Tuple[str, ...]) -> str:
+            flat = "/".join(path)
+            return "train" if any(s in flat for s in scopes) else "freeze"
+
+        labels = traverse_util.path_aware_map(
+            lambda p, _: label(p), params)
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, labels)
+    return opt
+
+
+def l2_regularization(params, weight_decay: float) -> jax.Array:
+    """TF-style: wd * sum(||w||^2 / 2) over kernel-like leaves only."""
+    if weight_decay <= 0:
+        return jnp.asarray(0.0, jnp.float32)
+    flat = traverse_util.flatten_dict(params)
+    total = jnp.asarray(0.0, jnp.float32)
+    for path, w in flat.items():
+        if path[-1] in ("weights", "kernel"):
+            total = total + 0.5 * jnp.sum(jnp.square(w.astype(jnp.float32)))
+    return weight_decay * total
+
+
+def cross_entropy(logits: jax.Array, labels: jax.Array,
+                  label_smoothing: float = 0.0) -> jax.Array:
+    logits = logits.astype(jnp.float32)
+    num_classes = logits.shape[-1]
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
+    if label_smoothing > 0:
+        onehot = onehot * (1 - label_smoothing) + label_smoothing / num_classes
+    return jnp.mean(optax.softmax_cross_entropy(logits, onehot))
+
+
+# ---------------------------------------------------------------------------
+# Trainer
+# ---------------------------------------------------------------------------
+
+class Trainer:
+    """Orchestrates init, the jitted train/eval steps, checkpoints, logging.
+
+    ``preprocess``: None (batch["image"] already model-ready), "train"
+    (uint8 -> distorted crop/flip/color on device, fused into the step), or
+    "eval" (uint8 -> central-crop/resize, fused).
+    """
+
+    def __init__(self, cfg: Config, mesh: Optional[Mesh] = None,
+                 preprocess: Optional[str] = None):
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else mesh_lib.create_mesh(cfg.mesh)
+        self.preprocess = preprocess
+        self.model, self.forward = build_model(cfg)
+        self.tx: Optional[optax.GradientTransformation] = None
+        self._compiled_train = None
+        self._compiled_eval = None
+        self._ckpt_mgr = None
+
+    # -- initialization ----------------------------------------------------
+
+    def _maybe_preprocess(self, batch: Dict[str, jax.Array], train: bool,
+                          rng: Optional[jax.Array]) -> Dict[str, jax.Array]:
+        if self.preprocess is None or "image" not in batch:
+            return batch
+        image = batch["image"]
+        size = self.cfg.image.image_size
+        if self.preprocess == "train" and train:
+            image = pp.preprocess_for_train(
+                rng, image, size, size,
+                resize_method=self.cfg.data.resize_method)
+        else:
+            image = pp.preprocess_for_eval(
+                image, size, size,
+                central_fraction=self.cfg.data.eval_central_crop,
+                resize_method=self.cfg.data.resize_method)
+        return dict(batch, image=image)
+
+    def init_state(self, rng: jax.Array, sample_batch: Dict[str, np.ndarray],
+                   initial_variables: Optional[Dict] = None,
+                   embedding_matrix: Optional[np.ndarray] = None) -> TrainState:
+        if initial_variables is None:
+            init_rngs = {"params": rng, "dropout": jax.random.PRNGKey(0)}
+            batch = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x)[:1], dict(sample_batch))
+            batch = self._maybe_preprocess(batch, False, None)
+            variables = self.model.init(
+                init_rngs, *self._model_args(batch), train=False)
+        else:
+            variables = initial_variables
+        params = flax.core.unfreeze(variables["params"])
+        batch_stats = flax.core.unfreeze(variables.get("batch_stats", {}))
+        if embedding_matrix is not None:
+            params = _set_embedding(params, embedding_matrix)
+        self.tx = make_optimizer(self.cfg, params)
+        opt_state = self.tx.init(params)
+        return TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                          batch_stats=batch_stats, opt_state=opt_state)
+
+    def _model_args(self, batch: Dict[str, jax.Array]) -> Tuple:
+        if self.cfg.model == "text":
+            return (batch["tokens"], batch.get("lengths"))
+        if self.cfg.model == "image":
+            return (batch["image"],)
+        return (batch["image"], batch["tokens"], batch.get("lengths"))
+
+    # -- the jitted step ---------------------------------------------------
+
+    def _loss_fn(self, params, batch_stats, batch, rng, train: bool):
+        variables = {"params": params, "batch_stats": batch_stats}
+        rngs = {"dropout": rng} if train else None
+        mutable = ["batch_stats"] if train else False
+        out = self.forward(variables, batch, train=train, rngs=rngs,
+                           mutable=mutable)
+        if train:
+            (logits, end_points), updates = out
+            new_stats = updates.get("batch_stats", batch_stats)
+        else:
+            logits, end_points = out
+            new_stats = batch_stats
+        loss = cross_entropy(logits, batch["label"])
+        if train and "AuxLogits" in end_points:
+            loss = loss + self.cfg.image.aux_loss_weight * cross_entropy(
+                end_points["AuxLogits"], batch["label"])
+        loss = loss + l2_regularization(params, self.cfg.train.weight_decay)
+        return loss, (logits, new_stats)
+
+    def train_step(self, state: TrainState, batch, rng):
+        rng_pp, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
+        batch = self._maybe_preprocess(batch, True, rng_pp)
+        grad_fn = jax.value_and_grad(
+            lambda p: self._loss_fn(p, state.batch_stats, batch, rng_drop, True),
+            has_aux=True)
+        (loss, (logits, new_stats)), grads = grad_fn(state.params)
+        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32))
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        return new_state, {"loss": loss, "accuracy": acc}
+
+    def eval_step(self, state: TrainState, batch):
+        batch = self._maybe_preprocess(batch, False, None)
+        loss, (logits, _) = self._loss_fn(
+            state.params, state.batch_stats, batch, jax.random.PRNGKey(0), False)
+        stats = metrics_lib.batch_stats(logits, batch["label"],
+                                        self.cfg.image.num_classes,
+                                        weights=batch.get("weight"))
+        stats["loss_sum"] = loss * stats["count"].astype(jnp.float32)
+        return stats
+
+    def compile(self):
+        """jit both steps with mesh shardings (params replicated, batch on
+        the data axis); donates state so HBM holds one copy."""
+        repl = NamedSharding(self.mesh, P())
+        data = NamedSharding(self.mesh, P("data"))
+        self._compiled_train = jax.jit(
+            self.train_step,
+            in_shardings=(repl, data, repl),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,))
+        self._compiled_eval = jax.jit(
+            self.eval_step, in_shardings=(repl, data), out_shardings=repl)
+        return self
+
+    # -- loops ---------------------------------------------------------------
+
+    def fit(self, state: TrainState, batches: Iterable[Dict[str, np.ndarray]],
+            num_steps: Optional[int] = None,
+            eval_batches: Optional[Callable[[], Iterable]] = None) -> TrainState:
+        if self._compiled_train is None:
+            self.compile()
+        t = self.cfg.train
+        num_steps = num_steps if num_steps is not None else t.num_steps
+        rng = jax.random.PRNGKey(t.seed)
+        it = iter(batches)
+        last_t = time.perf_counter()
+        last_step = int(state.step)
+        examples = 0
+        for _ in range(num_steps):
+            try:
+                batch = next(it)
+            except StopIteration:
+                log.info("input exhausted at step %d", int(state.step))
+                break
+            batch = mesh_lib.shard_batch(self.mesh, batch)
+            state, m = self._compiled_train(state, batch, rng)
+            examples += t.batch_size
+            step = int(state.step)
+            if step % t.log_every == 0:
+                jax.block_until_ready(m)
+                now = time.perf_counter()
+                ips = (t.batch_size * (step - last_step)) / max(now - last_t, 1e-9)
+                log.info("step %d loss %.4f acc %.3f (%.1f ex/s)",
+                         step, float(m["loss"]), float(m["accuracy"]), ips)
+                last_t, last_step = now, step
+            if self._ckpt_mgr is not None and step % t.checkpoint_every == 0:
+                self.save_checkpoint(state)
+        if self._ckpt_mgr is not None:
+            self.save_checkpoint(state)
+        return state
+
+    def evaluate(self, state: TrainState,
+                 batches: Iterable[Dict[str, np.ndarray]],
+                 class_names=None) -> Dict:
+        if self._compiled_eval is None:
+            self.compile()
+        total = None
+        loss_sum, count = 0.0, 0
+        for batch in batches:
+            batch = mesh_lib.shard_batch(self.mesh, batch)
+            stats = jax.device_get(self._compiled_eval(state, batch))
+            loss_sum += float(stats.pop("loss_sum"))
+            count += int(stats["count"])
+            total = stats if total is None else metrics_lib.merge_stats(total, stats)
+        if total is None:
+            return {"accuracy": 0.0, "count": 0}
+        summary = metrics_lib.summarize(total, class_names)
+        summary["loss"] = loss_sum / max(count, 1)
+        return summary
+
+    # -- checkpointing (Orbax; SURVEY.md §5 checkpoint/resume) --------------
+
+    def checkpoint_manager(self, directory: Optional[str] = None):
+        import orbax.checkpoint as ocp
+
+        if self._ckpt_mgr is None:
+            directory = directory or self.cfg.train.checkpoint_dir
+            self._ckpt_mgr = ocp.CheckpointManager(
+                directory,
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=self.cfg.train.keep_checkpoints, create=True))
+        return self._ckpt_mgr
+
+    def save_checkpoint(self, state: TrainState) -> None:
+        import orbax.checkpoint as ocp
+
+        mgr = self.checkpoint_manager()
+        mgr.save(int(state.step),
+                 args=ocp.args.StandardSave(jax.device_get(
+                     {"params": state.params, "batch_stats": state.batch_stats,
+                      "opt_state": state.opt_state, "step": state.step})))
+        mgr.wait_until_finished()
+
+    def restore_latest(self, state: TrainState) -> Optional[TrainState]:
+        """slim-Supervisor-style resume: restore the latest checkpoint if one
+        exists, else return None."""
+        import orbax.checkpoint as ocp
+
+        mgr = self.checkpoint_manager()
+        step = mgr.latest_step()
+        if step is None:
+            return None
+        target = jax.device_get(
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state, "step": state.step})
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(target))
+        return TrainState(step=jnp.asarray(restored["step"]),
+                          params=restored["params"],
+                          batch_stats=restored["batch_stats"],
+                          opt_state=restored["opt_state"])
+
+
+def _set_embedding(params: Dict, matrix: np.ndarray) -> Dict:
+    """Install a pretrained embedding matrix wherever the text branch lives."""
+    flat = traverse_util.flatten_dict(params)
+    hits = [p for p in flat if p[-1] == "WordEmbedding/embeddings"]
+    if not hits:
+        raise ValueError("model has no WordEmbedding/embeddings parameter")
+    for p in hits:
+        if flat[p].shape != matrix.shape:
+            raise ValueError(f"embedding shape {matrix.shape} != {flat[p].shape}")
+        flat[p] = jnp.asarray(matrix)
+    return traverse_util.unflatten_dict(flat)
