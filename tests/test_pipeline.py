@@ -1,0 +1,110 @@
+"""Input pipeline tests: TFRecord index, grain dataset, device prefetch."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from tumblr_emotions_tpu.data import jpeg as jpeg_lib
+from tumblr_emotions_tpu.data import pipeline, records, vocab
+
+
+def _jpeg(seed, hw=(100, 140)):
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    img = (np.cumsum(np.cumsum(rng.rand(*hw, 3), 0), 1) * 7 % 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=90)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def dataset_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("records")
+    exs = [records.post_to_example(_jpeg(i), f"post number {i} feeling happy",
+                                   i % 15, post_id=str(i))
+           for i in range(37)]
+    records.write_sharded_tfrecords(exs, str(d), "train", 3)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def v():
+    return vocab.build_vocabulary(
+        [f"post number {i} feeling happy" for i in range(37)], min_freq=1)
+
+
+def test_tfrecord_index_random_access(dataset_dir):
+    idx = pipeline.TFRecordIndex(os.path.join(dataset_dir, "train-*.tfrecord"))
+    assert len(idx) == 37
+    seen = set()
+    for i in range(len(idx)):
+        post = records.example_to_post(idx[i])
+        seen.add(post["id"])
+    assert len(seen) == 37
+    # index cache written and reused
+    assert any(p.endswith(".idx") for p in os.listdir(dataset_dir))
+    idx2 = pipeline.TFRecordIndex(os.path.join(dataset_dir, "train-*.tfrecord"))
+    assert records.example_to_post(idx2[5]) == records.example_to_post(idx[5])
+
+
+def test_batches_shapes_and_coverage(dataset_dir, v):
+    cfg = pipeline.PipelineConfig(batch_size=8, host_size=64, max_len=10,
+                                  shuffle=True, seed=1, num_epochs=1)
+    got_labels = []
+    n_batches = 0
+    for b in pipeline.batches(os.path.join(dataset_dir, "train-*.tfrecord"),
+                              v, cfg):
+        assert b["image"].shape == (8, 64, 64, 3)
+        assert b["image"].dtype == np.uint8
+        assert b["tokens"].shape == (8, 10)
+        assert b["lengths"].shape == (8,)
+        got_labels.extend(np.asarray(b["label"]).tolist())
+        n_batches += 1
+    assert n_batches == 37 // 8
+    assert len(got_labels) == 32
+
+
+def test_epoch_reshuffle_differs(dataset_dir, v):
+    cfg = pipeline.PipelineConfig(batch_size=37, host_size=32, max_len=4,
+                                  shuffle=True, seed=0, num_epochs=2,
+                                  drop_remainder=False)
+    it = pipeline.batches(os.path.join(dataset_dir, "train-*.tfrecord"), v, cfg)
+    e1 = np.asarray(next(it)["label"])
+    e2 = np.asarray(next(it)["label"])
+    assert sorted(e1.tolist()) == sorted(e2.tolist())
+    assert not np.array_equal(e1, e2)  # reshuffled across epochs
+
+
+def test_host_sharding_disjoint(dataset_dir, v):
+    pat = os.path.join(dataset_dir, "train-*.tfrecord")
+    ids = []
+    for shard in range(2):
+        cfg = pipeline.PipelineConfig(batch_size=4, host_size=32, max_len=4,
+                                      shuffle=False, num_epochs=1,
+                                      drop_remainder=False,
+                                      shard_index=shard, shard_count=2)
+        labels = []
+        for b in pipeline.batches(pat, v, cfg):
+            labels.extend(np.asarray(b["label"])[np.asarray(b["weight"]) == 1].tolist())
+        ids.append(labels)
+    assert len(ids[0]) + len(ids[1]) == 37
+
+
+def test_device_prefetch(dataset_dir, v):
+    import jax
+
+    from tumblr_emotions_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+    cfg = pipeline.PipelineConfig(batch_size=8, host_size=32, max_len=4,
+                                  shuffle=False, num_epochs=1)
+    it = pipeline.batches(os.path.join(dataset_dir, "train-*.tfrecord"), v, cfg)
+    n = 0
+    for sharded in pipeline.device_prefetch(it, mesh, depth=2):
+        assert isinstance(sharded["image"], jax.Array)
+        assert sharded["image"].shape == (8, 32, 32, 3)
+        n += 1
+    assert n == 4

@@ -1,0 +1,165 @@
+"""Scraper (fake client), dataset converter, analysis, and CLI tests."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tumblr_emotions_tpu import analysis
+from tumblr_emotions_tpu.config import EMOTIONS
+from tumblr_emotions_tpu.data import convert, records, scraper
+
+
+def _jpeg(seed, hw=(80, 100)):
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    img = (np.cumsum(np.cumsum(rng.rand(*hw, 3), 0), 1) * 7 % 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=90)
+    return buf.getvalue()
+
+
+class FakeTumblrClient:
+    """Pages of fake posts per tag, mimicking pytumblr.tagged()."""
+
+    def __init__(self, pages=3, per_page=4):
+        self.pages = pages
+        self.per_page = per_page
+
+    def tagged(self, tag, before=None):
+        page = 0 if before is None else (10_000 - before)
+        if page >= self.pages:
+            return []
+        posts = []
+        for i in range(self.per_page):
+            pid = page * self.per_page + i
+            good = (pid % 4 != 3)  # every 4th post lacks a caption
+            posts.append({
+                "id": f"{tag}-{pid}",
+                "type": "photo" if pid % 5 != 4 else "text",
+                "timestamp": 10_000 - page - 1,
+                "caption": f"<p>feeling so {tag} today {pid}</p>" if good else "",
+                "photos": [{"original_size":
+                            {"url": f"http://x/{tag}/{pid}.jpg"}}],
+            })
+        return posts
+
+
+def test_scrape_emotion_filters_and_pages():
+    client = FakeTumblrClient()
+    posts = scraper.scrape_emotion(client, "happy", max_posts=100)
+    assert posts  # got some
+    assert all(p.text and p.image_url for p in posts)
+    assert all("<p>" not in p.text for p in posts)  # html stripped
+    assert all(p.emotion == "happy" for p in posts)
+
+
+def test_scrape_all_writes_csv_and_images(tmp_path):
+    client = FakeTumblrClient(pages=1)
+    fetched = {}
+
+    def fake_fetch(url):
+        fetched[url] = True
+        return _jpeg(hash(url) % 100)
+
+    csv_path = scraper.scrape_all(client, emotions=("happy", "sad"),
+                                  max_posts_per_emotion=5,
+                                  out_dir=str(tmp_path), fetch=fake_fetch)
+    assert os.path.exists(csv_path)
+    from tumblr_emotions_tpu.data.csv_dataset import load_posts_csv
+
+    posts = load_posts_csv(csv_path)
+    assert posts and fetched
+    img = os.path.join(str(tmp_path), "images", posts[0].image_path)
+    assert os.path.exists(img)
+
+
+def test_convert_dataset_end_to_end(tmp_path):
+    # Build a scraped-style layout then convert.
+    img_dir = tmp_path / "images"
+    rows = ["id,emotion,text,image"]
+    for i, emotion in enumerate(EMOTIONS[:4]):
+        for k in range(6):
+            rel = f"{emotion}/{k}.jpg"
+            p = img_dir / rel
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(_jpeg(i * 10 + k))
+            rows.append(f"{emotion}{k},{emotion},feeling {emotion} {k},{rel}")
+    # one corrupt image row
+    (img_dir / "broken.jpg").write_bytes(b"nope")
+    rows.append("bad,happy,broken image,broken.jpg")
+    csv_path = tmp_path / "posts.csv"
+    csv_path.write_text("\n".join(rows) + "\n")
+
+    out = tmp_path / "records"
+    counts = convert.convert(str(csv_path), str(img_dir), str(out),
+                             num_shards=2, valid_fraction=0.25, min_freq=1)
+    assert counts["skipped"] == 1
+    assert counts["train"] + counts["validation"] == 24
+    assert os.path.exists(out / "labels.txt")
+    assert os.path.exists(out / "vocab.txt")
+    got = sum(1 for _ in records.read_sharded(str(out / "train-*.tfrecord")))
+    assert got == counts["train"]
+    post = records.example_to_post(
+        next(records.read_sharded(str(out / "train-*.tfrecord"))))
+    assert post["label"] >= 0 and post["image"][:2] == b"\xff\xd8"
+
+
+def test_pca_circumplex_recovers_structure():
+    # Synthetic: class means lie on a circle in a 2-D subspace of R^15.
+    rng = np.random.RandomState(0)
+    C = 15
+    angles = np.linspace(0, 2 * np.pi, C, endpoint=False)
+    basis = rng.randn(2, C)
+    means = np.stack([np.cos(a) * basis[0] + np.sin(a) * basis[1]
+                      for a in angles])
+    labels = np.repeat(np.arange(C), 50)
+    probs = means[labels] + 0.01 * rng.randn(len(labels), C)
+    result = analysis.circumplex(probs, labels)
+    assert sum(result["explained_variance"]) > 0.95
+    order = analysis.angular_order(result["coords"])
+    assert len(order) == C
+    # Angular order must match the generating circle (up to rotation/flip).
+    gen_order = [EMOTIONS[i] for i in range(C)]
+    start = order.index(gen_order[0])
+    rotated = order[start:] + order[:start]
+    assert rotated == gen_order or rotated == [gen_order[0]] + gen_order[1:][::-1]
+    print(analysis.format_circumplex(result))
+
+
+def test_cli_text_train_eval_predict(tmp_path):
+    from tumblr_emotions_tpu import cli
+
+    rows = ["id,text,emotion"]
+    rng = np.random.RandomState(0)
+    for emotion in EMOTIONS:
+        for k in range(8):
+            filler = " ".join(rng.choice(["the", "a", "so"], 2))
+            rows.append(f"{emotion}{k},{filler} feeling {emotion} now,{emotion}")
+    csv_path = tmp_path / "posts.csv"
+    csv_path.write_text("\n".join(rows) + "\n")
+    ckpt = str(tmp_path / "ckpt")
+
+    rc = cli.main(["build-vocab", "--csv", str(csv_path),
+                   "--out", str(tmp_path / "vocab.txt"), "--min-freq", "1"])
+    assert rc == 0
+
+    rc = cli.main(["train", "--preset", "text_only", "--csv", str(csv_path),
+                   "--vocab", str(tmp_path / "vocab.txt"),
+                   "--checkpoint-dir", ckpt, "--steps", "60",
+                   "--batch-size", "32", "--max-len", "8"])
+    assert rc == 0
+
+    rc = cli.main(["eval", "--preset", "text_only", "--csv", str(csv_path),
+                   "--vocab", str(tmp_path / "vocab.txt"),
+                   "--checkpoint-dir", ckpt, "--max-len", "8"])
+    assert rc == 0
+
+    rc = cli.main(["predict", "--preset", "text_only",
+                   "--vocab", str(tmp_path / "vocab.txt"),
+                   "--checkpoint-dir", ckpt, "--max-len", "8",
+                   "--text", "feeling happy now"])
+    assert rc == 0

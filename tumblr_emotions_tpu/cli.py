@@ -1,0 +1,316 @@
+"""Command-line entry points (SURVEY.md L4): train / eval / predict plus the
+dataset tooling (scrape, convert-dataset, build-vocab, convert-checkpoint).
+
+Replaces the reference's per-model flag scripts with one CLI over the config
+presets:
+
+  python -m tumblr_emotions_tpu.cli train --preset text_only --csv posts.csv
+  python -m tumblr_emotions_tpu.cli train --preset joint_finetune \
+      --records 'data/train-*.tfrecord' --vocab data/vocab.txt \
+      --warmstart inception_v3.ckpt
+  python -m tumblr_emotions_tpu.cli eval --preset joint_finetune \
+      --records 'data/validation-*.tfrecord' --vocab data/vocab.txt
+  python -m tumblr_emotions_tpu.cli predict --preset joint_finetune \
+      --image post.jpg --text "so happy today" --vocab data/vocab.txt
+  python -m tumblr_emotions_tpu.cli convert-dataset --csv posts.csv \
+      --images-dir images/ --out data/
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import sys
+from typing import Dict, Optional
+
+import numpy as np
+
+log = logging.getLogger("tumblr_emotions_tpu")
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--preset", default="joint_finetune")
+    p.add_argument("--model", choices=["text", "image", "joint"], default=None)
+    p.add_argument("--records", default="", help="TFRecord glob")
+    p.add_argument("--csv", default="", help="posts CSV (text-only runs)")
+    p.add_argument("--vocab", default="", help="vocab.txt path")
+    p.add_argument("--embeddings", default="", help="GloVe txt / .npy matrix")
+    p.add_argument("--labels", default="", help="labels.txt (defaults to built-in)")
+    p.add_argument("--checkpoint-dir", default="")
+    p.add_argument("--batch-size", type=int, default=0)
+    p.add_argument("--steps", type=int, default=0)
+    p.add_argument("--learning-rate", type=float, default=0.0)
+    p.add_argument("--max-len", type=int, default=0)
+    p.add_argument("--precision", choices=["parity", "perf"], default="")
+    p.add_argument("--warmstart", default="",
+                   help="slim .ckpt to warm-start the Inception tower from")
+    p.add_argument("--trainable-scopes", default=None,
+                   help="comma list; e.g. Logits,AuxLogits for head-only")
+    p.add_argument("--seed", type=int, default=-1)
+
+
+def _build_config(args):
+    from tumblr_emotions_tpu.config import get_preset
+
+    cfg = get_preset(args.preset)
+    if args.model:
+        cfg = cfg.replace(model=args.model)
+    t = {}
+    if args.batch_size:
+        t["batch_size"] = args.batch_size
+    if args.steps:
+        t["num_steps"] = args.steps
+    if args.learning_rate:
+        t["learning_rate"] = args.learning_rate
+    if args.checkpoint_dir:
+        t["checkpoint_dir"] = args.checkpoint_dir
+    if args.precision:
+        t["precision_mode"] = args.precision
+    if args.warmstart:
+        t["warmstart_checkpoint"] = args.warmstart
+    if args.trainable_scopes is not None:
+        t["trainable_scopes"] = args.trainable_scopes
+    if args.seed >= 0:
+        t["seed"] = args.seed
+    if t:
+        cfg = cfg.replace(train=cfg.train.replace(**t))
+    if args.max_len:
+        cfg = cfg.replace(text=cfg.text.replace(max_len=args.max_len))
+    return cfg
+
+
+def _load_emotions(args):
+    from tumblr_emotions_tpu.config import EMOTIONS
+
+    if args.labels:
+        with open(args.labels) as f:
+            return tuple(line.strip() for line in f if line.strip())
+    return EMOTIONS
+
+
+def _load_vocab(args, cfg, texts=None):
+    from tumblr_emotions_tpu.data.vocab import Vocabulary, build_vocabulary
+
+    if args.vocab:
+        v = Vocabulary.load(args.vocab)
+    elif texts is not None:
+        v = build_vocabulary(texts, max_size=cfg.text.vocab_size)
+    else:
+        raise SystemExit("--vocab is required for records input")
+    return v
+
+
+def _make_batches(args, cfg, vocab, train: bool):
+    from tumblr_emotions_tpu.data import csv_dataset, pipeline
+
+    bs = cfg.train.batch_size if train else cfg.train.eval_batch_size
+    if args.csv:
+        posts = csv_dataset.load_posts_csv(args.csv, emotions=_load_emotions(args))
+        return csv_dataset.text_batches(
+            posts, vocab, bs, cfg.text.max_len, shuffle=train,
+            seed=cfg.train.seed, num_epochs=None if train else 1,
+            drop_remainder=train)
+    if not args.records:
+        raise SystemExit("need --records or --csv")
+    pcfg = pipeline.PipelineConfig(
+        batch_size=bs, max_len=cfg.text.max_len, shuffle=train,
+        seed=cfg.train.seed, num_epochs=None if train else 1,
+        drop_remainder=train, decode_threads=cfg.data.num_workers)
+    return pipeline.batches(args.records, vocab, pcfg)
+
+
+def _init_trainer_state(args, cfg, vocab, sample_batch):
+    import jax
+
+    from tumblr_emotions_tpu.train import Trainer
+    from tumblr_emotions_tpu.utils import checkpoint as ckpt_lib
+    from tumblr_emotions_tpu.data.vocab import load_embeddings
+
+    if vocab is not None:
+        cfg = cfg.replace(text=cfg.text.replace(vocab_size=vocab.size))
+    preprocess = None
+    if cfg.model in ("image", "joint") and "image" in sample_batch and \
+            sample_batch["image"].dtype == np.uint8:
+        preprocess = "train"
+    trainer = Trainer(cfg, preprocess=preprocess)
+    emb = None
+    if args.embeddings and vocab is not None:
+        emb = load_embeddings(args.embeddings, vocab, cfg.text.embed_dim)
+    state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed),
+                               sample_batch, embedding_matrix=emb)
+    if cfg.train.warmstart_checkpoint:
+        pretrained = ckpt_lib.load_slim_checkpoint(
+            cfg.train.warmstart_checkpoint,
+            exclude_scopes=cfg.train.warmstart_exclude)
+        subtree = "InceptionV3" if cfg.model == "joint" else None
+        merged = ckpt_lib.merge_pretrained(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pretrained, subtree=subtree)
+        state = state.replace(params=merged["params"],
+                              batch_stats=merged["batch_stats"])
+        log.info("warm-started from %s", cfg.train.warmstart_checkpoint)
+    return trainer, state, cfg
+
+
+def cmd_train(args) -> int:
+    cfg = _build_config(args)
+    vocab = None
+    if cfg.model in ("text", "joint"):
+        texts = None
+        if args.csv and not args.vocab:
+            from tumblr_emotions_tpu.data.csv_dataset import load_posts_csv
+
+            texts = [p.text for p in load_posts_csv(args.csv)]
+        vocab = _load_vocab(args, cfg, texts)
+    batches = _make_batches(args, cfg, vocab, train=True)
+    it = iter(batches)
+    first = next(it)
+    import itertools
+
+    trainer, state, cfg = _init_trainer_state(args, cfg, vocab, first)
+    trainer.checkpoint_manager()
+    resumed = trainer.restore_latest(state)
+    if resumed is not None:
+        state = resumed
+        log.info("resumed at step %d", int(state.step))
+    state = trainer.fit(state, itertools.chain([first], it))
+    log.info("finished at step %d", int(state.step))
+    return 0
+
+
+def cmd_eval(args) -> int:
+    cfg = _build_config(args)
+    emotions = _load_emotions(args)
+    vocab = _load_vocab(args, cfg) if cfg.model in ("text", "joint") else None
+    batches = list(_make_batches(args, cfg, vocab, train=False))
+    trainer, state, cfg = _init_trainer_state(args, cfg, vocab, batches[0])
+    restored = trainer.restore_latest(state)
+    if restored is None:
+        log.warning("no checkpoint found in %s; evaluating fresh init",
+                    cfg.train.checkpoint_dir)
+    else:
+        state = restored
+    # Eval batches may arrive as uint8 host images: use eval preprocessing.
+    if trainer.preprocess is not None:
+        trainer.preprocess = "eval"
+    summary = trainer.evaluate(state, batches, class_names=emotions)
+    from tumblr_emotions_tpu.utils.metrics import format_per_class
+
+    print(format_per_class(summary))
+    return 0
+
+
+def cmd_predict(args) -> int:
+    cfg = _build_config(args)
+    emotions = _load_emotions(args)
+    vocab = _load_vocab(args, cfg) if cfg.model in ("text", "joint") else None
+
+    import jax
+
+    from tumblr_emotions_tpu.train import Trainer
+    from tumblr_emotions_tpu.train.predict import Predictor
+
+    if vocab is not None:
+        cfg = cfg.replace(text=cfg.text.replace(vocab_size=vocab.size))
+    # Build a state to restore into.
+    sample: Dict[str, np.ndarray] = {}
+    if cfg.model in ("image", "joint"):
+        sample["image"] = np.zeros((1, 299, 299, 3), np.float32)
+    if cfg.model in ("text", "joint"):
+        sample["tokens"] = np.zeros((1, cfg.text.max_len), np.int32)
+        sample["lengths"] = np.ones((1,), np.int32)
+    sample["label"] = np.zeros((1,), np.int32)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+    restored = trainer.restore_latest(state)
+    if restored is not None:
+        state = restored
+    elif cfg.train.warmstart_checkpoint:
+        trainer2, state, cfg = _init_trainer_state(args, cfg, vocab, sample)
+
+    predictor = Predictor(
+        cfg, {"params": state.params, "batch_stats": state.batch_stats},
+        vocab=vocab, emotions=emotions)
+    image_bytes = open(args.image, "rb").read() if args.image else None
+    result = predictor.predict(image_bytes=image_bytes, text=args.text or None)
+    print(json.dumps(result, indent=2))
+    return 0
+
+
+def cmd_convert_dataset(args) -> int:
+    from tumblr_emotions_tpu.data.convert import convert
+
+    counts = convert(args.csv, args.images_dir, args.out,
+                     num_shards=args.num_shards,
+                     valid_fraction=args.valid_fraction)
+    print(json.dumps(counts))
+    return 0
+
+
+def cmd_build_vocab(args) -> int:
+    from tumblr_emotions_tpu.data.csv_dataset import load_posts_csv
+    from tumblr_emotions_tpu.data.vocab import build_vocabulary
+
+    posts = load_posts_csv(args.csv)
+    v = build_vocabulary((p.text for p in posts), max_size=args.max_size,
+                         min_freq=args.min_freq)
+    v.save(args.out)
+    print(f"wrote {v.size} tokens to {args.out}")
+    return 0
+
+
+def cmd_scrape(args) -> int:
+    from tumblr_emotions_tpu.data.scraper import make_pytumblr_client, scrape_all
+
+    client = make_pytumblr_client(args.consumer_key, args.consumer_secret)
+    csv_path = scrape_all(client, max_posts_per_emotion=args.max_posts,
+                          out_dir=args.out)
+    print(f"wrote {csv_path}")
+    return 0
+
+
+def main(argv=None) -> int:
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(levelname)s %(message)s")
+    parser = argparse.ArgumentParser(prog="tumblr_emotions_tpu")
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    for name, fn in [("train", cmd_train), ("eval", cmd_eval),
+                     ("predict", cmd_predict)]:
+        p = sub.add_parser(name)
+        _add_common(p)
+        if name == "predict":
+            p.add_argument("--image", default="")
+            p.add_argument("--text", default="")
+        p.set_defaults(fn=fn)
+
+    p = sub.add_parser("convert-dataset")
+    p.add_argument("--csv", required=True)
+    p.add_argument("--images-dir", default="")
+    p.add_argument("--out", required=True)
+    p.add_argument("--num-shards", type=int, default=5)
+    p.add_argument("--valid-fraction", type=float, default=0.1)
+    p.set_defaults(fn=cmd_convert_dataset)
+
+    p = sub.add_parser("build-vocab")
+    p.add_argument("--csv", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--max-size", type=int, default=50_000)
+    p.add_argument("--min-freq", type=int, default=2)
+    p.set_defaults(fn=cmd_build_vocab)
+
+    p = sub.add_parser("scrape")
+    p.add_argument("--consumer-key", required=True)
+    p.add_argument("--consumer-secret", default="")
+    p.add_argument("--max-posts", type=int, default=1000)
+    p.add_argument("--out", default="scraped")
+    p.set_defaults(fn=cmd_scrape)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,210 @@
+"""Host input pipeline: grain over TFRecord shards, C++ JPEG decode,
+double-buffered device feed.
+
+Replaces the reference's L1 stack (SURVEY.md §2b/§3.1): TF's C++
+TFRecordReader + shuffle-queue + queue-runner threads become
+
+  TFRecordIndex (random-access record lookup via a one-pass offset index)
+    -> grain.MapDataset (global shuffle by index, per-epoch reshuffle,
+       multi-worker prefetch — deterministic, resumable)
+    -> PostDecode (C++ libjpeg batch decode + fixed-size host resize)
+    -> device_prefetch (background thread jax.device_put onto the mesh,
+       depth-N double buffering so host decode overlaps device compute)
+
+Static shapes throughout: every batch is [B, host_size, host_size, 3] uint8
+plus token/length/label/weight arrays; train-time crops/distortions happen
+on device inside the jitted step (preprocessing.py), eval parity paths
+process full-resolution images per image (predict.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import glob
+import os
+import queue
+import struct
+import threading
+from typing import Any, Dict, Iterable, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from tumblr_emotions_tpu.data import jpeg as jpeg_lib
+from tumblr_emotions_tpu.data import records as records_lib
+from tumblr_emotions_tpu.data.vocab import Vocabulary
+
+
+class TFRecordIndex:
+    """Random access into sharded TFRecord files via an offset index.
+
+    The TFRecord format is sequential; grain needs random access.  A single
+    streaming pass per shard records (offset, length) of every record —
+    cheap (framing reads only), cached next to the shard as ``.idx`` so
+    subsequent runs skip the scan.
+    """
+
+    def __init__(self, pattern: str, use_cache: bool = True):
+        self.paths = sorted(glob.glob(pattern))
+        if not self.paths:
+            raise FileNotFoundError(f"no records match {pattern}")
+        self._entries: List[Tuple[int, int, int]] = []  # (file_idx, off, len)
+        for fi, path in enumerate(self.paths):
+            for off, ln in self._index_one(path, use_cache):
+                self._entries.append((fi, off, ln))
+        self._files: Dict[int, Any] = {}
+        self._lock = threading.Lock()
+
+    @staticmethod
+    def _index_one(path: str, use_cache: bool) -> List[Tuple[int, int]]:
+        idx_path = path + ".idx"
+        if use_cache and os.path.exists(idx_path) and \
+                os.path.getmtime(idx_path) >= os.path.getmtime(path):
+            arr = np.fromfile(idx_path, dtype=np.int64).reshape(-1, 2)
+            return [(int(o), int(l)) for o, l in arr]
+        entries = []
+        with open(path, "rb") as f:
+            off = 0
+            while True:
+                header = f.read(8)
+                if len(header) < 8:
+                    break
+                (length,) = struct.unpack("<Q", header)
+                entries.append((off + 12, length))
+                off += 12 + length + 4
+                f.seek(off)
+        if use_cache:
+            try:
+                np.asarray(entries, np.int64).tofile(idx_path)
+            except OSError:
+                pass  # read-only data dir: skip the cache
+        return entries
+
+    def __len__(self) -> int:
+        return len(self._entries)
+
+    def __getitem__(self, i: int) -> bytes:
+        fi, off, ln = self._entries[int(i)]
+        # One fh per file, lazily opened; pread is thread-safe.
+        f = self._files.get(fi)
+        if f is None:
+            with self._lock:
+                f = self._files.get(fi)
+                if f is None:
+                    f = open(self.paths[fi], "rb")
+                    self._files[fi] = f
+        return os.pread(f.fileno(), ln, off)
+
+    # grain protocol
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_files"] = {}
+        state["_lock"] = None
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._lock = threading.Lock()
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    batch_size: int = 32
+    host_size: int = 347          # decoded+resized host image side
+    max_len: int = 50
+    shuffle: bool = True
+    seed: int = 0
+    num_epochs: Optional[int] = None
+    drop_remainder: bool = True
+    decode_threads: int = 8
+    dct_method: str = "islow"
+    worker_count: int = 0          # grain subprocess workers (0 = in-process)
+    shard_index: int = 0           # this host's shard (multi-host DP)
+    shard_count: int = 1
+
+
+def _host_resize_uint8(img: np.ndarray, size: int) -> np.ndarray:
+    """Fixed-size host resize for batch assembly (PIL bilinear, uint8).
+
+    Train-path only — eval parity resizes on device with TF1 grid math from
+    the original resolution (preprocessing.py).
+    """
+    from PIL import Image
+
+    if img.shape[0] == size and img.shape[1] == size:
+        return img
+    return np.asarray(
+        Image.fromarray(img).resize((size, size), Image.BILINEAR), np.uint8)
+
+
+def make_dataset(pattern: str, vocab: Vocabulary, cfg: PipelineConfig):
+    """grain.MapDataset of model-ready example dicts (unbatched)."""
+    import grain
+
+    source = TFRecordIndex(pattern)
+    ds = grain.MapDataset.source(source)
+    if cfg.shard_count > 1:
+        ds = ds[cfg.shard_index::cfg.shard_count]
+    if cfg.shuffle:
+        ds = ds.shuffle(seed=cfg.seed)
+    if cfg.num_epochs is not None:
+        ds = ds.repeat(cfg.num_epochs)
+    else:
+        ds = ds.repeat(None)
+
+    def parse(raw: bytes) -> Dict[str, np.ndarray]:
+        post = records_lib.example_to_post(raw)
+        img = jpeg_lib.decode(post["image"], dct_method=cfg.dct_method)
+        img = _host_resize_uint8(img, cfg.host_size)
+        tokens, length = vocab.encode(post["text"], cfg.max_len)
+        return {
+            "image": img,
+            "tokens": tokens,
+            "lengths": np.int32(length),
+            "label": np.int32(post["label"]),
+            "weight": np.int32(1),
+        }
+
+    return ds.map(parse)
+
+
+def batches(pattern: str, vocab: Vocabulary, cfg: PipelineConfig
+            ) -> Iterator[Dict[str, np.ndarray]]:
+    """Batched numpy iterator (grain batch + optional worker prefetch)."""
+    import grain
+
+    ds = make_dataset(pattern, vocab, cfg)
+    ds = ds.batch(cfg.batch_size, drop_remainder=cfg.drop_remainder)
+    it = ds.to_iter_dataset()
+    if cfg.worker_count > 0:
+        it = it.mp_prefetch(
+            grain.MultiprocessingOptions(num_workers=cfg.worker_count))
+    return iter(it)
+
+
+def device_prefetch(batch_iter: Iterable[Dict[str, np.ndarray]], mesh,
+                    depth: int = 2) -> Iterator[Any]:
+    """Background-thread device_put with batch sharding (double buffering).
+
+    The reference overlapped input and compute with C++ queue threads; here
+    one host thread keeps ``depth`` batches in flight on device, so the
+    jitted step never waits on host->device DMA.
+    """
+    from tumblr_emotions_tpu.parallel import shard_batch
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def producer():
+        try:
+            for batch in batch_iter:
+                q.put(shard_batch(mesh, batch))
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
