@@ -30,11 +30,18 @@ def main() -> int:
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     src = 347  # decoded JPEG size; 299/0.875 ≈ 342 so the 0.875 crop is real
 
+    from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
+
     cfg = get_preset("fused_inference")  # bf16 perf mode
     model, _ = build_model(cfg)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, 299, 299, 3), jnp.bfloat16),
                            train=False)
+    # BN-folded inference engine (ops/inference.py): measured fastest on
+    # v5e as folded XLA convs (the Pallas fused-block path is available via
+    # use_pallas=True but benches ~30% slower on this chip — see
+    # docs/PERFORMANCE.md for the ablation table).
+    engine = FusedInceptionV3(variables, dtype=jnp.bfloat16, use_pallas=False)
 
     # .sum() keeps the readback to one scalar: through the remote-TPU tunnel
     # of this environment, block_until_ready() is NOT synchronous — only a
@@ -43,7 +50,7 @@ def main() -> int:
     @jax.jit
     def fused(variables, raw_u8):
         x = preprocess_for_eval(raw_u8, dtype=jnp.bfloat16)
-        logits, _ = model.apply(variables, x, train=False)
+        logits, _ = engine(x)
         return logits.astype(jnp.float32).sum()
 
     rng = np.random.RandomState(0)

@@ -51,6 +51,7 @@ class InceptionV3(nn.Module):
     bn_epsilon: float = 0.001
     bn_scale: bool = False
     dtype: Dtype = jnp.float32
+    precision: Optional[str] = None  # "highest" for the f32 parity path
 
     def _conv(self, features: int, kernel: Tuple[int, int], *, name: str,
               strides: Tuple[int, int] = (1, 1), padding: str = "VALID",
@@ -59,7 +60,7 @@ class InceptionV3(nn.Module):
             features=features, kernel=kernel, strides=strides, padding=padding,
             bn_momentum=self.bn_momentum, bn_epsilon=self.bn_epsilon,
             bn_scale=self.bn_scale, weights_init_stddev=stddev,
-            dtype=self.dtype, name=name)
+            dtype=self.dtype, precision=self.precision, name=name)
 
     def _depth(self, d: int) -> int:
         return max(int(d * self.depth_multiplier), self.min_depth)
@@ -164,6 +165,7 @@ class InceptionV3(nn.Module):
             aux = ConvBN(features=self.num_classes, kernel=(1, 1), padding="SAME",
                          use_bn=False, use_bias=True, activation=None,
                          weights_init_stddev=0.001, dtype=self.dtype,
+                         precision=self.precision,
                          name="AuxLogits/Conv2d_2b_1x1")(aux, train)
             end_points["AuxLogits"] = jnp.squeeze(aux, axis=(1, 2))
 
@@ -218,7 +220,8 @@ class InceptionV3(nn.Module):
 
         logits = ConvBN(features=self.num_classes, kernel=(1, 1), padding="SAME",
                         use_bn=False, use_bias=True, activation=None,
-                        dtype=self.dtype, name="Logits/Conv2d_1c_1x1")(net, train)
+                        dtype=self.dtype, precision=self.precision,
+                        name="Logits/Conv2d_1c_1x1")(net, train)
         logits = jnp.squeeze(logits, axis=(1, 2))
         end_points["Logits"] = logits
         end_points["Predictions"] = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)

@@ -92,6 +92,10 @@ class ConvBN(nn.Module):
     use_bias: bool = False
     weights_init_stddev: float = 0.1  # slim trunc_normal(0.1) via arg_scope
     dtype: Dtype = jnp.float32
+    # None = backend default (fast, bf16-ish multiplies on TPU even for f32
+    # inputs); "highest" = true f32 MXU passes, required for the 1e-4 parity
+    # budget against TF goldens (SURVEY.md §6).
+    precision: Optional[str] = None
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -110,6 +114,7 @@ class ConvBN(nn.Module):
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32,
+            precision=self.precision,
         ).astype(self.dtype)
         if self.use_bias:
             b = self.param("biases", nn.initializers.zeros, (self.features,),

@@ -1,0 +1,171 @@
+"""Fused inference engine: the serving-path Inception-v3 forward.
+
+Assembles the full tower from BN-folded weights: stem and reduction blocks
+as plain XLA convs (cheap, stride-2, odd shapes), the repeated constant-size
+stages — 3x Inception-A at 35x35 and 4x Inception-B at 17x17 — as the
+Pallas fused-block kernels (ops/fused_inception.py), which are where the
+XLA path is HBM-bound.  Used by bench.py and the batch serving path;
+training and the parity (f32, 1e-4) path keep the Flax model.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from tumblr_emotions_tpu.ops.fused_inception import (
+    fold_batchnorm, fused_inception_a, fused_inception_b)
+
+
+def _conv(x, folded, scope, strides=(1, 1), padding="VALID", relu=True,
+          dtype=jnp.bfloat16):
+    w, b = folded[scope]
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), jnp.asarray(w, dtype),
+        window_strides=strides, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y + jnp.asarray(b, jnp.float32)
+    if relu:
+        y = jnp.maximum(y, 0.0)
+    return y.astype(dtype)
+
+
+class FusedInceptionV3:
+    """Inference-only Inception-v3 over BN-folded weights.
+
+    variables: the Flax model's {"params", "batch_stats"} (image tower at
+    the root, i.e. an image-only model or the joint model's "InceptionV3"
+    subtree).
+    """
+
+    def __init__(self, variables: Dict, dtype=jnp.bfloat16,
+                 use_pallas: bool = True, interpret: bool = False,
+                 images_per_block: int = 1):
+        self.folded = fold_batchnorm(
+            jax.device_get(variables["params"]),
+            jax.device_get(variables.get("batch_stats", {})))
+        self.dtype = dtype
+        self.use_pallas = use_pallas
+        self.interpret = interpret
+        self.images_per_block = images_per_block
+
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """Preprocessed [B, 299, 299, 3] -> pre-logits feature [B, 2048]
+        and logits if a Logits head is present; returns (logits, feature)."""
+        f = self.folded
+        conv = functools.partial(_conv, folded=f, dtype=self.dtype)
+        x = x.astype(self.dtype)
+        net = conv(x, scope="Conv2d_1a_3x3", strides=(2, 2))
+        net = conv(net, scope="Conv2d_2a_3x3")
+        net = conv(net, scope="Conv2d_2b_3x3", padding="SAME")
+        net = nn.max_pool(net, (3, 3), (2, 2), "VALID")
+        net = conv(net, scope="Conv2d_3b_1x1")
+        net = conv(net, scope="Conv2d_4a_3x3")
+        net = nn.max_pool(net, (3, 3), (2, 2), "VALID")
+
+        if self.use_pallas:
+            fa = functools.partial(fused_inception_a, interpret=self.interpret,
+                                   images_per_block=self.images_per_block)
+            net = fa(net, f, "Mixed_5b")
+            net = fa(net, f, "Mixed_5c", quirky_5c=True)
+            net = fa(net, f, "Mixed_5d")
+        else:
+            net = self._xla_inception_a(net, "Mixed_5b", False)
+            net = self._xla_inception_a(net, "Mixed_5c", True)
+            net = self._xla_inception_a(net, "Mixed_5d", False)
+
+        # Mixed_6a reduction
+        b0 = conv(net, scope="Mixed_6a/Branch_0/Conv2d_1a_1x1", strides=(2, 2))
+        b1 = conv(net, scope="Mixed_6a/Branch_1/Conv2d_0a_1x1", padding="SAME")
+        b1 = conv(b1, scope="Mixed_6a/Branch_1/Conv2d_0b_3x3", padding="SAME")
+        b1 = conv(b1, scope="Mixed_6a/Branch_1/Conv2d_1a_1x1", strides=(2, 2))
+        b2 = nn.max_pool(net, (3, 3), (2, 2), "VALID")
+        net = jnp.concatenate([b0, b1, b2], axis=-1)
+
+        for scope in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+            if self.use_pallas:
+                net = fused_inception_b(net, f, scope, interpret=self.interpret,
+                                        images_per_block=self.images_per_block)
+            else:
+                net = self._xla_inception_b(net, scope)
+
+        # Mixed_7a reduction
+        b0 = conv(net, scope="Mixed_7a/Branch_0/Conv2d_0a_1x1", padding="SAME")
+        b0 = conv(b0, scope="Mixed_7a/Branch_0/Conv2d_1a_3x3", strides=(2, 2))
+        b1 = conv(net, scope="Mixed_7a/Branch_1/Conv2d_0a_1x1", padding="SAME")
+        b1 = conv(b1, scope="Mixed_7a/Branch_1/Conv2d_0b_1x7", padding="SAME")
+        b1 = conv(b1, scope="Mixed_7a/Branch_1/Conv2d_0c_7x1", padding="SAME")
+        b1 = conv(b1, scope="Mixed_7a/Branch_1/Conv2d_1a_3x3", strides=(2, 2))
+        b2 = nn.max_pool(net, (3, 3), (2, 2), "VALID")
+        net = jnp.concatenate([b0, b1, b2], axis=-1)
+
+        net = self._xla_inception_c(net, "Mixed_7b", False)
+        net = self._xla_inception_c(net, "Mixed_7c", True)
+
+        kh = min(8, net.shape[1])
+        feature = jnp.mean(net.astype(jnp.float32), axis=(1, 2)) \
+            if (net.shape[1], net.shape[2]) == (kh, kh) else \
+            jnp.squeeze(nn.avg_pool(net, (kh, kh), (1, 1), "VALID"),
+                        axis=(1, 2)).astype(jnp.float32)
+        logits = None
+        if "Logits/Conv2d_1c_1x1" in f:
+            w, b = f["Logits/Conv2d_1c_1x1"]
+            logits = feature @ np.asarray(w)[0, 0].astype(np.float32) + b
+        return logits, feature
+
+    # ---- XLA fallbacks (also the A/B ablation baseline) ----
+
+    def _xla_inception_a(self, net, scope, quirky):
+        conv = functools.partial(_conv, folded=self.folded, dtype=self.dtype,
+                                 padding="SAME")
+        b1n = ("Conv2d_0b_1x1", "Conv_1_0c_5x5") if quirky else \
+            ("Conv2d_0a_1x1", "Conv2d_0b_5x5")
+        b0 = conv(net, scope=f"{scope}/Branch_0/Conv2d_0a_1x1")
+        b1 = conv(net, scope=f"{scope}/Branch_1/{b1n[0]}")
+        b1 = conv(b1, scope=f"{scope}/Branch_1/{b1n[1]}")
+        b2 = conv(net, scope=f"{scope}/Branch_2/Conv2d_0a_1x1")
+        b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0b_3x3")
+        b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0c_3x3")
+        b3 = nn.avg_pool(net, (3, 3), (1, 1), "SAME", count_include_pad=False)
+        b3 = conv(b3, scope=f"{scope}/Branch_3/Conv2d_0b_1x1")
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+    def _xla_inception_b(self, net, scope):
+        conv = functools.partial(_conv, folded=self.folded, dtype=self.dtype,
+                                 padding="SAME")
+        b0 = conv(net, scope=f"{scope}/Branch_0/Conv2d_0a_1x1")
+        b1 = conv(net, scope=f"{scope}/Branch_1/Conv2d_0a_1x1")
+        b1 = conv(b1, scope=f"{scope}/Branch_1/Conv2d_0b_1x7")
+        b1 = conv(b1, scope=f"{scope}/Branch_1/Conv2d_0c_7x1")
+        b2 = conv(net, scope=f"{scope}/Branch_2/Conv2d_0a_1x1")
+        b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0b_7x1")
+        b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0c_1x7")
+        b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0d_7x1")
+        b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0e_1x7")
+        b3 = nn.avg_pool(net, (3, 3), (1, 1), "SAME", count_include_pad=False)
+        b3 = conv(b3, scope=f"{scope}/Branch_3/Conv2d_0b_1x1")
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)
+
+    def _xla_inception_c(self, net, scope, quirky_7c):
+        conv = functools.partial(_conv, folded=self.folded, dtype=self.dtype,
+                                 padding="SAME")
+        n31 = "Conv2d_0c_3x1" if quirky_7c else "Conv2d_0b_3x1"
+        b0 = conv(net, scope=f"{scope}/Branch_0/Conv2d_0a_1x1")
+        b1 = conv(net, scope=f"{scope}/Branch_1/Conv2d_0a_1x1")
+        b1 = jnp.concatenate([
+            conv(b1, scope=f"{scope}/Branch_1/Conv2d_0b_1x3"),
+            conv(b1, scope=f"{scope}/Branch_1/{n31}")], axis=-1)
+        b2 = conv(net, scope=f"{scope}/Branch_2/Conv2d_0a_1x1")
+        b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0b_3x3")
+        b2 = jnp.concatenate([
+            conv(b2, scope=f"{scope}/Branch_2/Conv2d_0c_1x3"),
+            conv(b2, scope=f"{scope}/Branch_2/Conv2d_0d_3x1")], axis=-1)
+        b3 = nn.avg_pool(net, (3, 3), (1, 1), "SAME", count_include_pad=False)
+        b3 = conv(b3, scope=f"{scope}/Branch_3/Conv2d_0b_1x1")
+        return jnp.concatenate([b0, b1, b2, b3], axis=-1)

@@ -60,6 +60,9 @@ def build_model(cfg: Config):
     lengths [B], label [B].
     """
     dtype = jnp.bfloat16 if cfg.train.precision_mode == "perf" else jnp.float32
+    # Parity mode: force true-f32 MXU passes so logits meet the 1e-4 budget
+    # vs the TF reference (TPU's default precision multiplies in bf16).
+    precision = None if cfg.train.precision_mode == "perf" else "highest"
     if cfg.model == "text":
         model = TextEmotionModel(
             vocab_size=cfg.text.vocab_size, embed_dim=cfg.text.embed_dim,
@@ -79,7 +82,8 @@ def build_model(cfg: Config):
             dropout_keep_prob=cfg.image.dropout_keep_prob,
             create_aux_logits=cfg.image.create_aux_logits,
             bn_momentum=cfg.image.bn_momentum, bn_epsilon=cfg.image.bn_epsilon,
-            bn_scale=cfg.image.bn_scale, dtype=dtype, name="InceptionV3")
+            bn_scale=cfg.image.bn_scale, dtype=dtype, precision=precision,
+            name="InceptionV3")
 
         def forward(variables, batch, train, rngs=None, mutable=False):
             return model.apply(variables, batch["image"], train=train,
