@@ -163,3 +163,30 @@ def test_cli_text_train_eval_predict(tmp_path):
                    "--checkpoint-dir", ckpt, "--max-len", "8",
                    "--text", "feeling happy now"])
     assert rc == 0
+
+
+def test_summary_writer_and_profiler(tmp_path):
+    """Metric writer produces TensorBoard event files; profiler hook captures
+    a trace directory (SURVEY.md §5 observability)."""
+    from tumblr_emotions_tpu.utils.summaries import ProfilerHook, SummaryWriter
+
+    logdir = str(tmp_path / "tb")
+    w = SummaryWriter(logdir)
+    w.write_scalars(1, {"train/loss": 2.7, "train/accuracy": 0.1})
+    w.write_scalars(2, {"train/loss": 2.5, "train/accuracy": 0.2})
+    w.flush()
+    files = []
+    for root, _, names in os.walk(logdir):
+        files.extend(names)
+    assert any("tfevents" in n for n in files), files
+
+    import jax
+    import jax.numpy as jnp
+
+    hook = ProfilerHook(str(tmp_path / "trace"), start_step=2, num_steps=1)
+    for step in (1, 2, 3):
+        hook.maybe_start(step)
+        jnp.ones((8, 8)).sum().block_until_ready()
+        hook.maybe_stop(step)
+    hook.stop_if_active()
+    assert os.path.isdir(str(tmp_path / "trace"))

@@ -121,6 +121,9 @@ class TrainConfig(_Replaceable):
     checkpoint_every: int = 500
     checkpoint_dir: str = "/tmp/tumblr_emotions_ckpt"
     keep_checkpoints: int = 3
+    log_dir: str = ""                # TensorBoard event files (clu writers)
+    profile_start_step: int = 0      # 0 = no jax.profiler trace
+    profile_num_steps: int = 3
     seed: int = 0
     # "parity" = f32 everywhere (1e-4 logit budget); "perf" = bf16 compute.
     precision_mode: str = "parity"

@@ -36,6 +36,7 @@ from tumblr_emotions_tpu.models import (
     DeepSentimentModel, InceptionV3, TextEmotionModel)
 from tumblr_emotions_tpu.parallel import mesh as mesh_lib
 from tumblr_emotions_tpu.utils import metrics as metrics_lib
+from tumblr_emotions_tpu.utils.summaries import ProfilerHook, SummaryWriter
 
 log = logging.getLogger("tumblr_emotions_tpu")
 
@@ -309,28 +310,43 @@ class Trainer:
         num_steps = num_steps if num_steps is not None else t.num_steps
         rng = jax.random.PRNGKey(t.seed)
         it = iter(batches)
+        writer = SummaryWriter(t.log_dir)
+        profiler = ProfilerHook(t.log_dir or "/tmp/tumblr_emotions_trace",
+                                t.profile_start_step, t.profile_num_steps)
         last_t = time.perf_counter()
         last_step = int(state.step)
-        examples = 0
-        for _ in range(num_steps):
-            try:
-                batch = next(it)
-            except StopIteration:
-                log.info("input exhausted at step %d", int(state.step))
-                break
-            batch = mesh_lib.shard_batch(self.mesh, batch)
-            state, m = self._compiled_train(state, batch, rng)
-            examples += t.batch_size
-            step = int(state.step)
-            if step % t.log_every == 0:
-                jax.block_until_ready(m)
-                now = time.perf_counter()
-                ips = (t.batch_size * (step - last_step)) / max(now - last_t, 1e-9)
-                log.info("step %d loss %.4f acc %.3f (%.1f ex/s)",
-                         step, float(m["loss"]), float(m["accuracy"]), ips)
-                last_t, last_step = now, step
-            if self._ckpt_mgr is not None and step % t.checkpoint_every == 0:
-                self.save_checkpoint(state)
+        try:
+            for _ in range(num_steps):
+                try:
+                    batch = next(it)
+                except StopIteration:
+                    log.info("input exhausted at step %d", int(state.step))
+                    break
+                step_next = int(state.step) + 1
+                profiler.maybe_start(step_next)
+                batch = mesh_lib.shard_batch(self.mesh, batch)
+                state, m = self._compiled_train(state, batch, rng)
+                step = step_next
+                profiler.maybe_stop(step)
+                if step % t.log_every == 0:
+                    jax.block_until_ready(m)
+                    now = time.perf_counter()
+                    ips = (t.batch_size * (step - last_step)) / max(now - last_t, 1e-9)
+                    loss = float(m["loss"])
+                    acc = float(m["accuracy"])
+                    log.info("step %d loss %.4f acc %.3f (%.1f ex/s)",
+                             step, loss, acc, ips)
+                    writer.write_scalars(step, {
+                        "train/loss": loss, "train/accuracy": acc,
+                        "train/examples_per_sec": ips,
+                        "train/learning_rate": float(_lr_schedule(self.cfg)(step)),
+                    })
+                    last_t, last_step = now, step
+                if self._ckpt_mgr is not None and step % t.checkpoint_every == 0:
+                    self.save_checkpoint(state)
+        finally:
+            profiler.stop_if_active()
+            writer.flush()
         if self._ckpt_mgr is not None:
             self.save_checkpoint(state)
         return state
