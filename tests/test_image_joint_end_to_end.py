@@ -104,15 +104,13 @@ def test_image_only_model_with_frozen_backbone(tiny_cfg, record_dir, v):
     it = iter(_batches(record_dir, v, cfg))
     first = next(it)
     state = trainer.init_state(jax.random.PRNGKey(0), first)
-    stem0 = np.asarray(
-        state.params["InceptionV3"]["Conv2d_1a_3x3"]["weights"]).copy()
+    stem0 = np.asarray(state.params["Conv2d_1a_3x3"]["weights"]).copy()
     head0 = np.asarray(
-        state.params["InceptionV3"]["Logits/Conv2d_1c_1x1"]["weights"]).copy()
+        state.params["Logits/Conv2d_1c_1x1"]["weights"]).copy()
     import itertools
 
     state = trainer.fit(state, itertools.chain([first], it), num_steps=2)
     assert np.array_equal(
-        stem0, np.asarray(state.params["InceptionV3"]["Conv2d_1a_3x3"]["weights"]))
+        stem0, np.asarray(state.params["Conv2d_1a_3x3"]["weights"]))
     assert not np.array_equal(
-        head0,
-        np.asarray(state.params["InceptionV3"]["Logits/Conv2d_1c_1x1"]["weights"]))
+        head0, np.asarray(state.params["Logits/Conv2d_1c_1x1"]["weights"]))

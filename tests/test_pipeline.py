@@ -108,3 +108,21 @@ def test_device_prefetch(dataset_dir, v):
         assert sharded["image"].shape == (8, 32, 32, 3)
         n += 1
     assert n == 4
+
+
+def test_arrayrecord_roundtrip_and_pipeline(tmp_path, v):
+    exs = [records.post_to_example(_jpeg(i), f"post number {i} feeling happy",
+                                   i % 15, post_id=str(i)) for i in range(10)]
+    paths = records.write_sharded_arrayrecords(exs, str(tmp_path), "train", 2)
+    assert all(p.endswith(".arrayrecord") for p in paths)
+    got = sorted(records.example_to_post(r)["id"]
+                 for r in records.read_sharded_arrayrecords(
+                     str(tmp_path / "train-*.arrayrecord")))
+    assert got == sorted(str(i) for i in range(10))
+
+    cfg = pipeline.PipelineConfig(batch_size=5, host_size=32, max_len=6,
+                                  shuffle=False, num_epochs=1)
+    batches = list(pipeline.batches(str(tmp_path / "train-*.arrayrecord"),
+                                    v, cfg))
+    assert len(batches) == 2
+    assert batches[0]["image"].shape == (5, 32, 32, 3)

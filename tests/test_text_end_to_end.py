@@ -117,3 +117,24 @@ def test_pretrained_embedding_injection(tiny_csv):
                                embedding_matrix=matrix)
     np.testing.assert_array_equal(
         np.asarray(state.params["WordEmbedding/embeddings"]), matrix)
+
+
+def test_trainable_scope_matching_is_segment_based():
+    """'Logits' must not match 'AuxLogits' (slim prefix semantics)."""
+    from tumblr_emotions_tpu.train.trainer import make_optimizer
+    from tumblr_emotions_tpu.config import get_preset
+
+    cfg = get_preset("image_frozen")
+    cfg = cfg.replace(train=cfg.train.replace(trainable_scopes="Logits"))
+    params = {
+        "Logits/Conv2d_1c_1x1": {"weights": jnp.zeros((1, 1, 4, 15))},
+        "AuxLogits/Conv2d_2b_1x1": {"weights": jnp.zeros((1, 1, 4, 15))},
+        "Conv2d_1a_3x3": {"weights": jnp.zeros((3, 3, 3, 8))},
+    }
+    tx = make_optimizer(cfg, params)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    assert np.any(np.asarray(updates["Logits/Conv2d_1c_1x1"]["weights"]) != 0)
+    assert np.all(np.asarray(updates["AuxLogits/Conv2d_2b_1x1"]["weights"]) == 0)
+    assert np.all(np.asarray(updates["Conv2d_1a_3x3"]["weights"]) == 0)

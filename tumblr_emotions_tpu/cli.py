@@ -243,7 +243,8 @@ def cmd_convert_dataset(args) -> int:
 
     counts = convert(args.csv, args.images_dir, args.out,
                      num_shards=args.num_shards,
-                     valid_fraction=args.valid_fraction)
+                     valid_fraction=args.valid_fraction,
+                     record_format=args.format)
     print(json.dumps(counts))
     return 0
 
@@ -292,6 +293,8 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--num-shards", type=int, default=5)
     p.add_argument("--valid-fraction", type=float, default=0.1)
+    p.add_argument("--format", choices=["tfrecord", "arrayrecord"],
+                   default="tfrecord")
     p.set_defaults(fn=cmd_convert_dataset)
 
     p = sub.add_parser("build-vocab")

@@ -34,7 +34,8 @@ def convert(csv_path: str, images_dir: str, out_dir: str,
             num_shards: int = 5, valid_fraction: float = 0.1,
             emotions: Sequence[str] = EMOTIONS,
             vocab_size: int = 50_000, min_freq: int = 2,
-            verify_decode: bool = True) -> Dict[str, int]:
+            verify_decode: bool = True,
+            record_format: str = "tfrecord") -> Dict[str, int]:
     """Returns {"train": n, "validation": n, "skipped": n}."""
     posts = load_posts_csv(csv_path, emotions=emotions)
     os.makedirs(out_dir, exist_ok=True)
@@ -59,10 +60,12 @@ def convert(csv_path: str, images_dir: str, out_dir: str,
                                          post_id=p.post_id)
         buckets[_split_of(p.post_id or p.text, valid_fraction)].append(ex)
 
+    writer = (records_lib.write_sharded_arrayrecords
+              if record_format == "arrayrecord"
+              else records_lib.write_sharded_tfrecords)
     for split, exs in buckets.items():
         if exs:
-            records_lib.write_sharded_tfrecords(exs, out_dir, split,
-                                                num_shards)
+            writer(exs, out_dir, split, num_shards)
     with open(os.path.join(out_dir, "labels.txt"), "w") as f:
         for name in emotions:
             f.write(name + "\n")

@@ -136,11 +136,26 @@ def _host_resize_uint8(img: np.ndarray, size: int) -> np.ndarray:
         Image.fromarray(img).resize((size, size), Image.BILINEAR), np.uint8)
 
 
+def _make_source(pattern: str):
+    """TFRecord offset-index source, or grain's C++ ArrayRecordDataSource
+    when the pattern names .arrayrecord shards (SURVEY.md §2b)."""
+    if pattern.endswith(".arrayrecord") or ".arrayrecord" in pattern:
+        import glob as _glob
+
+        import grain
+
+        paths = sorted(_glob.glob(pattern))
+        if not paths:
+            raise FileNotFoundError(f"no records match {pattern}")
+        return grain.sources.ArrayRecordDataSource(paths)
+    return TFRecordIndex(pattern)
+
+
 def make_dataset(pattern: str, vocab: Vocabulary, cfg: PipelineConfig):
     """grain.MapDataset of model-ready example dicts (unbatched)."""
     import grain
 
-    source = TFRecordIndex(pattern)
+    source = _make_source(pattern)
     ds = grain.MapDataset.source(source)
     if cfg.shard_count > 1:
         ds = ds[cfg.shard_index::cfg.shard_count]

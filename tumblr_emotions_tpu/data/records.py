@@ -294,3 +294,43 @@ def read_sharded(pattern: str, verify_crc: bool = True) -> Iterator[bytes]:
         raise FileNotFoundError(f"no records match {pattern}")
     for p in paths:
         yield from read_tfrecords(p, verify_crc=verify_crc)
+
+
+# ---------------------------------------------------------------------------
+# ArrayRecord (TPU-native storage: random access, C++ underneath — the
+# grain-preferred source per SURVEY.md §2b; TFRecord remains the
+# compatibility format for data converted from the reference pipeline)
+# ---------------------------------------------------------------------------
+
+def write_sharded_arrayrecords(examples: Iterable[bytes], out_dir: str,
+                               basename: str, num_shards: int) -> List[str]:
+    """Shard-writer producing <basename>-%05d-of-%05d.arrayrecord files."""
+    from array_record.python.array_record_module import ArrayRecordWriter
+
+    os.makedirs(out_dir, exist_ok=True)
+    paths = [os.path.join(
+        out_dir, f"{basename}-{i:05d}-of-{num_shards:05d}.arrayrecord")
+        for i in range(num_shards)]
+    writers = [ArrayRecordWriter(p, "group_size:1") for p in paths]
+    try:
+        for i, ex in enumerate(examples):
+            writers[i % num_shards].write(ex)
+    finally:
+        for w in writers:
+            w.close()
+    return paths
+
+
+def read_sharded_arrayrecords(pattern: str) -> Iterator[bytes]:
+    from array_record.python.array_record_module import ArrayRecordReader
+
+    paths = sorted(glob.glob(pattern))
+    if not paths:
+        raise FileNotFoundError(f"no records match {pattern}")
+    for p in paths:
+        reader = ArrayRecordReader(p)
+        n = reader.num_records()
+        for chunk_start in range(0, n, 1024):
+            for rec in reader.read(list(range(chunk_start,
+                                              min(chunk_start + 1024, n)))):
+                yield rec

@@ -138,8 +138,16 @@ def make_optimizer(cfg: Config, params=None) -> optax.GradientTransformation:
         scopes = tuple(s.strip() for s in t.trainable_scopes.split(",") if s.strip())
 
         def label(path: Tuple[str, ...]) -> str:
-            flat = "/".join(path)
-            return "train" if any(s in flat for s in scopes) else "freeze"
+            # slim-style scope matching on path-segment boundaries ("Logits"
+            # must NOT match "AuxLogits"); flax keys may contain "/", so
+            # split the joined path back into segments.
+            segs = "/".join(path).split("/")
+            joined = "/".join(segs)
+            ok = any(
+                joined == s or joined.startswith(s + "/")
+                or f"/{s}/" in f"/{joined}/"
+                for s in scopes)
+            return "train" if ok else "freeze"
 
         labels = traverse_util.path_aware_map(
             lambda p, _: label(p), params)
