@@ -126,3 +126,23 @@ def test_arrayrecord_roundtrip_and_pipeline(tmp_path, v):
                                     v, cfg))
     assert len(batches) == 2
     assert batches[0]["image"].shape == (5, 32, 32, 3)
+
+
+def test_iterator_checkpoint_resume(dataset_dir, v, tmp_path):
+    """Exact input-position resume (grain iterator state save/restore)."""
+    cfg = pipeline.PipelineConfig(batch_size=4, host_size=32, max_len=4,
+                                  shuffle=True, seed=3)
+    pat = os.path.join(dataset_dir, "train-*.tfrecord")
+    it = pipeline.batches(pat, v, cfg)
+    for _ in range(3):
+        next(it)
+    state_path = str(tmp_path / "iter.json")
+    pipeline.save_iterator_state(it, state_path)
+    want = [np.asarray(next(it)["label"]) for _ in range(2)]
+
+    it2 = pipeline.batches(pat, v, cfg)
+    assert pipeline.restore_iterator_state(it2, state_path)
+    got = [np.asarray(next(it2)["label"]) for _ in range(2)]
+    for a, b in zip(want, got):
+        np.testing.assert_array_equal(a, b)
+    assert not pipeline.restore_iterator_state(it2, str(tmp_path / "none.json"))

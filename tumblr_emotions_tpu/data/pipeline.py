@@ -223,3 +223,29 @@ def device_prefetch(batch_iter: Iterable[Dict[str, np.ndarray]], mesh,
         if item is _END:
             return
         yield item
+
+
+# ---------------------------------------------------------------------------
+# Input-pipeline checkpointing (SURVEY.md §5 checkpoint/resume: the reference
+# restarts its input queues from scratch; grain iterators are stateful and
+# resumable, so training resumes at the exact record position).
+# ---------------------------------------------------------------------------
+
+def save_iterator_state(iterator, path: str) -> None:
+    """Persist a grain DatasetIterator's position as JSON."""
+    import json
+
+    with open(path, "w") as f:
+        json.dump(iterator.get_state(), f)
+
+
+def restore_iterator_state(iterator, path: str) -> bool:
+    """Restore a previously saved position; returns False if no state file."""
+    import json
+    import os as _os
+
+    if not _os.path.exists(path):
+        return False
+    with open(path) as f:
+        iterator.set_state(json.load(f))
+    return True

@@ -107,13 +107,18 @@ class ConvBN(nn.Module):
             (kh, kw, in_features, self.features),
             jnp.float32,
         )
+        # preferred_element_type=f32 with bf16 operands breaks the conv VJP
+        # (the backward pass builds conv(f32 cotangent, bf16 weights)), so
+        # only request it in f32 mode; in bf16 the MXU still accumulates f32
+        # internally and rounds on output.
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             w.astype(self.dtype),
             window_strides=self.strides,
             padding=self.padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=(jnp.float32 if self.dtype == jnp.float32
+                                    else None),
             precision=self.precision,
         ).astype(self.dtype)
         if self.use_bias:

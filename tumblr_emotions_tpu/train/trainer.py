@@ -294,8 +294,18 @@ class Trainer:
         return stats
 
     def compile(self):
-        """jit both steps with mesh shardings (params replicated, batch on
-        the data axis); donates state so HBM holds one copy."""
+        """jit both steps; donates state so HBM holds one copy.
+
+        On a single-device mesh plain jit is used — explicit shardings are
+        no-ops there, and this environment's remote-TPU runtime executes
+        sharded-annotated programs ~200x slower (measured 20.5 s vs 103 ms
+        per step).  Multi-device meshes get explicit NamedShardings: params
+        replicated, batch split on the data axis, XLA all-reducing grads.
+        """
+        if self.mesh.devices.size == 1:
+            self._compiled_train = jax.jit(self.train_step, donate_argnums=(0,))
+            self._compiled_eval = jax.jit(self.eval_step)
+            return self
         repl = NamedSharding(self.mesh, P())
         data = NamedSharding(self.mesh, P("data"))
         self._compiled_train = jax.jit(
