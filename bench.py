@@ -54,14 +54,15 @@ def main() -> int:
         return logits.astype(jnp.float32).sum()
 
     rng = np.random.RandomState(0)
-    device = jax.devices()[0]
     # 4 distinct device-resident uint8 batches, cycled: measures the steady
     # -state on-chip decode-output -> preprocess -> forward pipeline.  (Host
     # JPEG decode is benchmarked separately on CPU; the tunnel's host->device
-    # link here is an artifact of the sandbox, not v5e PCIe.)
+    # link here is an artifact of the sandbox, not v5e PCIe.)  Placement is
+    # deliberately UNCOMMITTED: committed arrays hit a ~200x slow path in
+    # this environment's remote-TPU runtime (docs/PERFORMANCE.md).
     host = [rng.randint(0, 256, size=(batch, src, src, 3), dtype=np.uint8)
             for _ in range(4)]
-    dev_batches = [jax.device_put(h, device) for h in host]
+    dev_batches = [jax.device_put(h) for h in host]
 
     # Warmup / compile (forces completion via float()).
     float(fused(variables, dev_batches[0]))

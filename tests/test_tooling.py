@@ -190,3 +190,24 @@ def test_summary_writer_and_profiler(tmp_path):
         hook.maybe_stop(step)
     hook.stop_if_active()
     assert os.path.isdir(str(tmp_path / "trace"))
+
+
+def test_cli_analyze(tmp_path):
+    from tumblr_emotions_tpu import cli
+
+    rows = ["id,text,emotion"]
+    for emotion in EMOTIONS:
+        for k in range(6):
+            rows.append(f"{emotion}{k},feeling {emotion} right now,{emotion}")
+    csv_path = tmp_path / "posts.csv"
+    csv_path.write_text("\n".join(rows) + "\n")
+    ckpt = str(tmp_path / "ckpt")
+    assert cli.main(["build-vocab", "--csv", str(csv_path),
+                     "--out", str(tmp_path / "v.txt"), "--min-freq", "1"]) == 0
+    assert cli.main(["train", "--preset", "text_only", "--csv", str(csv_path),
+                     "--vocab", str(tmp_path / "v.txt"),
+                     "--checkpoint-dir", ckpt, "--steps", "30",
+                     "--batch-size", "16", "--max-len", "8"]) == 0
+    assert cli.main(["analyze", "--preset", "text_only", "--csv", str(csv_path),
+                     "--vocab", str(tmp_path / "v.txt"),
+                     "--checkpoint-dir", ckpt, "--max-len", "8"]) == 0

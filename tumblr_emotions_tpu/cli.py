@@ -221,13 +221,19 @@ def cmd_predict(args) -> int:
         sample["tokens"] = np.zeros((1, cfg.text.max_len), np.int32)
         sample["lengths"] = np.ones((1,), np.int32)
     sample["label"] = np.zeros((1,), np.int32)
-    trainer = Trainer(cfg)
-    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+    if cfg.train.warmstart_checkpoint:
+        # slim-checkpoint path (no orbax dir yet): reuse the train-time
+        # init+warmstart wiring.
+        trainer, state, cfg = _init_trainer_state(args, cfg, vocab, sample)
+    else:
+        trainer = Trainer(cfg)
+        state = trainer.init_state(jax.random.PRNGKey(0), sample)
     restored = trainer.restore_latest(state)
     if restored is not None:
         state = restored
-    elif cfg.train.warmstart_checkpoint:
-        trainer2, state, cfg = _init_trainer_state(args, cfg, vocab, sample)
+    elif not cfg.train.warmstart_checkpoint:
+        log.warning("no checkpoint found in %s; predicting from fresh init",
+                    cfg.train.checkpoint_dir)
 
     predictor = Predictor(
         cfg, {"params": state.params, "batch_stats": state.batch_stats},
@@ -235,6 +241,47 @@ def cmd_predict(args) -> int:
     image_bytes = open(args.image, "rb").read() if args.image else None
     result = predictor.predict(image_bytes=image_bytes, text=args.text or None)
     print(json.dumps(result, indent=2))
+    return 0
+
+
+def cmd_analyze(args) -> int:
+    """Emotion-circumplex analysis (the reference's notebook #13): collect
+    the trained model's prediction vectors over a split, PCA the per-emotion
+    means, print coordinates + angular order."""
+    import jax
+
+    from tumblr_emotions_tpu import analysis
+    from tumblr_emotions_tpu.utils.metrics import format_per_class
+
+    cfg = _build_config(args)
+    emotions = _load_emotions(args)
+    vocab = _load_vocab(args, cfg) if cfg.model in ("text", "joint") else None
+    batches = list(_make_batches(args, cfg, vocab, train=False))
+    trainer, state, cfg = _init_trainer_state(args, cfg, vocab, batches[0])
+    restored = trainer.restore_latest(state)
+    if restored is not None:
+        state = restored
+    if trainer.preprocess is not None:
+        trainer.preprocess = "eval"
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def probs_fn(batch):
+        batch = trainer._maybe_preprocess(batch, False, None)
+        _, ep = trainer.forward(variables, batch, train=False)
+        return ep["Predictions"]
+
+    jprobs = jax.jit(probs_fn)
+    all_probs, all_labels = [], []
+    for b in batches:
+        p = np.asarray(jprobs({k: jax.numpy.asarray(v) for k, v in b.items()}))
+        w = np.asarray(b.get("weight", np.ones(len(p), np.int32))) == 1
+        all_probs.append(p[w])
+        all_labels.append(np.asarray(b["label"])[w])
+    probs = np.concatenate(all_probs)
+    labels = np.concatenate(all_labels)
+    result = analysis.circumplex(probs, labels, emotions=emotions)
+    print(analysis.format_circumplex(result))
     return 0
 
 
@@ -279,7 +326,7 @@ def main(argv=None) -> int:
     sub = parser.add_subparsers(dest="command", required=True)
 
     for name, fn in [("train", cmd_train), ("eval", cmd_eval),
-                     ("predict", cmd_predict)]:
+                     ("predict", cmd_predict), ("analyze", cmd_analyze)]:
         p = sub.add_parser(name)
         _add_common(p)
         if name == "predict":
