@@ -211,3 +211,30 @@ def test_cli_analyze(tmp_path):
     assert cli.main(["analyze", "--preset", "text_only", "--csv", str(csv_path),
                      "--vocab", str(tmp_path / "v.txt"),
                      "--checkpoint-dir", ckpt, "--max-len", "8"]) == 0
+
+
+def test_cli_two_phase_and_trained_embeddings(tmp_path):
+    """--head-steps two-phase recipe + train-embeddings command."""
+    from tumblr_emotions_tpu import cli
+
+    rows = ["id,text,emotion"]
+    for emotion in EMOTIONS:
+        for k in range(6):
+            rows.append(f"{emotion}{k},feeling {emotion} so {emotion},{emotion}")
+    csv_path = tmp_path / "posts.csv"
+    csv_path.write_text("\n".join(rows) + "\n")
+    assert cli.main(["build-vocab", "--csv", str(csv_path),
+                     "--out", str(tmp_path / "v.txt"), "--min-freq", "1"]) == 0
+    assert cli.main(["train-embeddings", "--csv", str(csv_path),
+                     "--vocab", str(tmp_path / "v.txt"),
+                     "--out", str(tmp_path / "emb.npy"),
+                     "--embed-dim", "8", "--steps", "50"]) == 0
+    assert os.path.exists(tmp_path / "emb.npy")
+
+    # Two-phase text training with the trained embeddings.
+    assert cli.main(["train", "--preset", "text_only", "--csv", str(csv_path),
+                     "--vocab", str(tmp_path / "v.txt"),
+                     "--embeddings", str(tmp_path / "emb.npy"),
+                     "--checkpoint-dir", str(tmp_path / "ck"),
+                     "--steps", "20", "--head-steps", "10",
+                     "--batch-size", "16", "--max-len", "8"]) == 0

@@ -47,6 +47,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="slim .ckpt to warm-start the Inception tower from")
     p.add_argument("--trainable-scopes", default=None,
                    help="comma list; e.g. Logits,AuxLogits for head-only")
+    p.add_argument("--head-steps", type=int, default=0,
+                   help="two-phase fine-tune: first N steps train only the "
+                        "new heads (Logits/AuxLogits/JointLogits/TextLogits), "
+                        "then the remaining steps train end-to-end — the "
+                        "reference's warm-start recipe")
     p.add_argument("--seed", type=int, default=-1)
 
 
@@ -133,10 +138,18 @@ def _init_trainer_state(args, cfg, vocab, sample_batch):
     if cfg.model in ("image", "joint") and "image" in sample_batch and \
             sample_batch["image"].dtype == np.uint8:
         preprocess = "train"
-    trainer = Trainer(cfg, preprocess=preprocess)
     emb = None
     if args.embeddings and vocab is not None:
-        emb = load_embeddings(args.embeddings, vocab, cfg.text.embed_dim)
+        if args.embeddings.endswith(".npy"):
+            # Infer embed_dim from the trained matrix.
+            emb = np.load(args.embeddings).astype(np.float32)
+            if emb.shape[0] != vocab.size:
+                raise SystemExit(
+                    f"embedding rows {emb.shape[0]} != vocab size {vocab.size}")
+            cfg = cfg.replace(text=cfg.text.replace(embed_dim=emb.shape[1]))
+        else:
+            emb = load_embeddings(args.embeddings, vocab, cfg.text.embed_dim)
+    trainer = Trainer(cfg, preprocess=preprocess)
     state = trainer.init_state(jax.random.PRNGKey(cfg.train.seed),
                                sample_batch, embedding_matrix=emb)
     if cfg.train.warmstart_checkpoint:
@@ -174,7 +187,31 @@ def cmd_train(args) -> int:
     if resumed is not None:
         state = resumed
         log.info("resumed at step %d", int(state.step))
-    state = trainer.fit(state, itertools.chain([first], it))
+    stream = itertools.chain([first], it)
+    if args.head_steps and int(state.step) < args.head_steps:
+        # Phase 1: freeze everything but the classification heads.
+        heads = "Logits,AuxLogits,JointLogits,JointHidden,TextLogits,TextHidden"
+        head_cfg = cfg.replace(train=cfg.train.replace(trainable_scopes=heads))
+        import tumblr_emotions_tpu.train.trainer as _tr
+        from tumblr_emotions_tpu.train import Trainer as _Trainer
+
+        head_trainer = _Trainer(head_cfg, mesh=trainer.mesh,
+                                preprocess=trainer.preprocess)
+        head_trainer.tx = _tr.make_optimizer(head_cfg, state.params)
+        head_state = _tr.TrainState(
+            step=state.step, params=state.params,
+            batch_stats=state.batch_stats,
+            opt_state=head_trainer.tx.init(state.params))
+        log.info("phase 1: training heads only for %d steps", args.head_steps)
+        head_state = head_trainer.fit(
+            head_state, stream, num_steps=args.head_steps - int(state.step))
+        # Phase 2 resumes with a fresh full-model optimizer.
+        state = _tr.TrainState(step=head_state.step, params=head_state.params,
+                               batch_stats=head_state.batch_stats,
+                               opt_state=trainer.tx.init(head_state.params))
+        log.info("phase 2: fine-tuning end-to-end")
+    state = trainer.fit(state, stream,
+                        num_steps=cfg.train.num_steps - int(state.step))
     log.info("finished at step %d", int(state.step))
     return 0
 
@@ -308,6 +345,22 @@ def cmd_build_vocab(args) -> int:
     return 0
 
 
+def cmd_train_embeddings(args) -> int:
+    """Train SGNS word2vec on the post corpus (the reference's alternative
+    to public GloVe vectors); writes a .npy matrix for --embeddings."""
+    from tumblr_emotions_tpu.data.csv_dataset import load_posts_csv
+    from tumblr_emotions_tpu.data.vocab import Vocabulary
+    from tumblr_emotions_tpu.data.word2vec import Word2VecConfig, train_word2vec
+
+    posts = load_posts_csv(args.csv)
+    v = Vocabulary.load(args.vocab)
+    cfg = Word2VecConfig(embed_dim=args.embed_dim, num_steps=args.steps)
+    matrix = train_word2vec([p.text for p in posts], v, cfg)
+    np.save(args.out, matrix)
+    print(f"wrote {matrix.shape} embeddings to {args.out}")
+    return 0
+
+
 def cmd_scrape(args) -> int:
     from tumblr_emotions_tpu.data.scraper import make_pytumblr_client, scrape_all
 
@@ -350,6 +403,14 @@ def main(argv=None) -> int:
     p.add_argument("--max-size", type=int, default=50_000)
     p.add_argument("--min-freq", type=int, default=2)
     p.set_defaults(fn=cmd_build_vocab)
+
+    p = sub.add_parser("train-embeddings")
+    p.add_argument("--csv", required=True)
+    p.add_argument("--vocab", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--embed-dim", type=int, default=200)
+    p.add_argument("--steps", type=int, default=20_000)
+    p.set_defaults(fn=cmd_train_embeddings)
 
     p = sub.add_parser("scrape")
     p.add_argument("--consumer-key", required=True)
