@@ -8,7 +8,7 @@ BASELINE.json ``configs`` entries are named presets, smallest slice first.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Tuple
 
 # The 15 Tumblr emotion hashtag labels (SURVEY.md §1; paper arXiv:1805.10205).
 # Order is alphabetical for determinism; the label file written next to any

@@ -14,12 +14,12 @@ from __future__ import annotations
 import hashlib
 import logging
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 from tumblr_emotions_tpu.config import EMOTIONS
 from tumblr_emotions_tpu.data import records as records_lib
 from tumblr_emotions_tpu.data import jpeg as jpeg_lib
-from tumblr_emotions_tpu.data.csv_dataset import Post, load_posts_csv
+from tumblr_emotions_tpu.data.csv_dataset import load_posts_csv
 from tumblr_emotions_tpu.data.vocab import build_vocabulary
 
 log = logging.getLogger("tumblr_emotions_tpu")

@@ -22,7 +22,7 @@ from __future__ import annotations
 import glob
 import os
 import struct
-from typing import Dict, Iterable, Iterator, List, Optional, Sequence, Tuple, Union
+from typing import Dict, Iterable, Iterator, List, Sequence, Tuple, Union
 
 import google_crc32c
 import numpy as np

@@ -16,7 +16,7 @@ import dataclasses
 import logging
 import os
 import time
-from typing import Callable, Dict, Iterable, List, Optional, Sequence
+from typing import Callable, Dict, List, Optional, Sequence
 
 from tumblr_emotions_tpu.config import EMOTIONS
 

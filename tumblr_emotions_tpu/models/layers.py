@@ -15,7 +15,7 @@ the MXU while keeping master params and BN statistics in f32.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional, Sequence, Tuple, Union
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

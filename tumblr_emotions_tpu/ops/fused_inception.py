@@ -28,7 +28,7 @@ stays on XLA (these kernels carry no custom VJP; training is not the
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

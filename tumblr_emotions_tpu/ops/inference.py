@@ -11,7 +11,7 @@ training and the parity (f32, 1e-4) path keep the Flax model.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

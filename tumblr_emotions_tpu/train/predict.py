@@ -8,10 +8,9 @@ to 299) on device fused with the forward pass — the parity path, batch 1.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tumblr_emotions_tpu.config import EMOTIONS, Config

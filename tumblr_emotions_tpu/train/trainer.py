@@ -16,11 +16,9 @@ matching slim's arg_scope regularizer placement).
 
 from __future__ import annotations
 
-import dataclasses
-import functools
 import logging
 import time
-from typing import Any, Callable, Dict, Iterable, Iterator, Optional, Tuple
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import flax
 import jax

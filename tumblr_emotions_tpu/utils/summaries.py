@@ -12,9 +12,8 @@ The reference's observability is tf.summary scalars to TensorBoard plus
 
 from __future__ import annotations
 
-import contextlib
 import logging
-from typing import Dict, Optional
+from typing import Dict
 
 log = logging.getLogger("tumblr_emotions_tpu")
 
