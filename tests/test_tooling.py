@@ -238,3 +238,44 @@ def test_cli_two_phase_and_trained_embeddings(tmp_path):
                      "--checkpoint-dir", str(tmp_path / "ck"),
                      "--steps", "20", "--head-steps", "10",
                      "--batch-size", "16", "--max-len", "8"]) == 0
+
+
+def test_cli_export_checkpoint_roundtrip(tmp_path):
+    """Orbax-trained image model -> slim .ckpt -> load_slim_checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu import cli
+    from tumblr_emotions_tpu.config import get_preset
+    from tumblr_emotions_tpu.train import Trainer
+    from tumblr_emotions_tpu.utils import checkpoint as ckpt_lib
+
+    cfg = get_preset("image_frozen")
+    cfg = cfg.replace(
+        image=cfg.image.replace(image_size=75, depth_multiplier=0.25,
+                                create_aux_logits=False),
+        train=cfg.train.replace(checkpoint_dir=str(tmp_path / "ck"),
+                                trainable_scopes=""))
+    trainer = Trainer(cfg)
+    sample = {"image": np.zeros((1, 75, 75, 3), np.float32),
+              "label": np.zeros((1,), np.int32)}
+    state = trainer.init_state(jax.random.PRNGKey(3), sample)
+    trainer.checkpoint_manager()
+    trainer.save_checkpoint(state)
+
+    out = str(tmp_path / "export" / "model.ckpt")
+    os.makedirs(os.path.dirname(out), exist_ok=True)
+    rc = cli.main(["export-checkpoint", "--preset", "image_frozen",
+                   "--model", "image", "--image-size", "75",
+                   "--depth-multiplier", "0.25", "--no-aux",
+                   "--trainable-scopes", "",
+                   "--checkpoint-dir", str(tmp_path / "ck"), "--out", out])
+    assert rc == 0
+    variables = {"params": jax.device_get(state.params),
+                 "batch_stats": jax.device_get(state.batch_stats)}
+    path = out
+    loaded = ckpt_lib.load_slim_checkpoint(path)
+    merged = ckpt_lib.merge_pretrained(variables, loaded)
+    a = np.asarray(merged["params"]["Conv2d_1a_3x3"]["weights"])
+    b = np.asarray(state.params["Conv2d_1a_3x3"]["weights"])
+    np.testing.assert_array_equal(a, b)

@@ -42,6 +42,10 @@ def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--steps", type=int, default=0)
     p.add_argument("--learning-rate", type=float, default=0.0)
     p.add_argument("--max-len", type=int, default=0)
+    p.add_argument("--image-size", type=int, default=0)
+    p.add_argument("--depth-multiplier", type=float, default=0.0)
+    p.add_argument("--no-aux", action="store_true",
+                   help="disable the auxiliary classifier head")
     p.add_argument("--precision", choices=["parity", "perf"], default="")
     p.add_argument("--warmstart", default="",
                    help="slim .ckpt to warm-start the Inception tower from")
@@ -82,6 +86,16 @@ def _build_config(args):
         cfg = cfg.replace(train=cfg.train.replace(**t))
     if args.max_len:
         cfg = cfg.replace(text=cfg.text.replace(max_len=args.max_len))
+    im = {}
+    if args.image_size:
+        im["image_size"] = args.image_size
+    if args.depth_multiplier:
+        im["depth_multiplier"] = args.depth_multiplier
+        im["min_depth"] = 8
+    if args.no_aux:
+        im["create_aux_logits"] = False
+    if im:
+        cfg = cfg.replace(image=cfg.image.replace(**im))
     return cfg
 
 
@@ -345,6 +359,42 @@ def cmd_build_vocab(args) -> int:
     return 0
 
 
+def cmd_export_checkpoint(args) -> int:
+    """Export the latest Orbax checkpoint as a TF1 name-based (slim-format)
+    checkpoint so slim-era tooling can consume models trained here (the
+    inverse of --warmstart)."""
+    import jax
+
+    from tumblr_emotions_tpu.train import Trainer
+    from tumblr_emotions_tpu.utils import checkpoint as ckpt_lib
+
+    cfg = _build_config(args)
+    vocab = _load_vocab(args, cfg) if (cfg.model in ("text", "joint")
+                                       and args.vocab) else None
+    if vocab is not None:
+        cfg = cfg.replace(text=cfg.text.replace(vocab_size=vocab.size))
+    s = cfg.image.image_size
+    sample: Dict[str, np.ndarray] = {"label": np.zeros((1,), np.int32)}
+    if cfg.model in ("image", "joint"):
+        sample["image"] = np.zeros((1, s, s, 3), np.float32)
+    if cfg.model in ("text", "joint"):
+        sample["tokens"] = np.zeros((1, cfg.text.max_len), np.int32)
+        sample["lengths"] = np.ones((1,), np.int32)
+    trainer = Trainer(cfg)
+    state = trainer.init_state(jax.random.PRNGKey(0), sample)
+    restored = trainer.restore_latest(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint in {cfg.train.checkpoint_dir}")
+    variables = {"params": jax.device_get(restored.params),
+                 "batch_stats": jax.device_get(restored.batch_stats)}
+    if cfg.model == "joint":
+        variables = {"params": variables["params"]["InceptionV3"],
+                     "batch_stats": variables["batch_stats"]["InceptionV3"]}
+    path = ckpt_lib.save_as_slim_checkpoint(variables, args.out)
+    print(f"wrote slim checkpoint {path} (step {int(restored.step)})")
+    return 0
+
+
 def cmd_train_embeddings(args) -> int:
     """Train SGNS word2vec on the post corpus (the reference's alternative
     to public GloVe vectors); writes a .npy matrix for --embeddings."""
@@ -403,6 +453,12 @@ def main(argv=None) -> int:
     p.add_argument("--max-size", type=int, default=50_000)
     p.add_argument("--min-freq", type=int, default=2)
     p.set_defaults(fn=cmd_build_vocab)
+
+    p = sub.add_parser("export-checkpoint")
+    _add_common(p)
+    p.add_argument("--out", required=True,
+                   help="output slim .ckpt path prefix")
+    p.set_defaults(fn=cmd_export_checkpoint)
 
     p = sub.add_parser("train-embeddings")
     p.add_argument("--csv", required=True)
