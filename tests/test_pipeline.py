@@ -146,3 +146,10 @@ def test_iterator_checkpoint_resume(dataset_dir, v, tmp_path):
     for a, b in zip(want, got):
         np.testing.assert_array_equal(a, b)
     assert not pipeline.restore_iterator_state(it2, str(tmp_path / "none.json"))
+
+
+def test_distributed_helpers_single_host():
+    from tumblr_emotions_tpu.parallel import distributed
+
+    assert distributed.maybe_initialize() is False  # single host: no-op
+    assert distributed.host_shard_options() == (0, 1)
