@@ -127,3 +127,33 @@ def test_tfrecord_written_by_tf_readable_by_us(tmp_path):
         w.write(b"one")
         w.write(b"two")
     assert list(records.read_tfrecords(p)) == [b"one", b"two"]
+
+
+def test_example_codec_fuzz_roundtrip():
+    """Property-style fuzz: random feature dicts survive encode->decode and
+    match TF's parser bit-for-bit (guards the hand-rolled proto codec)."""
+    rng = np.random.RandomState(0)
+    for trial in range(25):
+        feats = {}
+        for i in range(rng.randint(1, 6)):
+            name = f"f{trial}_{i}_" + "x" * rng.randint(0, 40)
+            kind = rng.randint(3)
+            n = rng.randint(1, 5)
+            if kind == 0:
+                feats[name] = [bytes(rng.bytes(rng.randint(0, 300)))
+                               for _ in range(n)]
+            elif kind == 1:
+                feats[name] = [int(v) for v in
+                               rng.randint(-2**62, 2**62, size=n)]
+            else:
+                feats[name] = [float(np.float32(v)) for v in
+                               rng.randn(n).astype(np.float32)]
+        data = records.encode_example(feats)
+        got = records.decode_example(data)
+        for name, want in feats.items():
+            if isinstance(want[0], float):
+                np.testing.assert_allclose(got[name], want, rtol=1e-6)
+            else:
+                assert got[name] == want, name
+        parsed = tf.train.Example.FromString(data)  # TF accepts our bytes
+        assert set(parsed.features.feature.keys()) == set(feats.keys())
