@@ -279,3 +279,13 @@ def test_cli_export_checkpoint_roundtrip(tmp_path):
     a = np.asarray(merged["params"]["Conv2d_1a_3x3"]["weights"])
     b = np.asarray(state.params["Conv2d_1a_3x3"]["weights"])
     np.testing.assert_array_equal(a, b)
+
+
+def test_cli_csv_with_image_model_errors(tmp_path):
+    from tumblr_emotions_tpu import cli
+
+    csv_path = tmp_path / "p.csv"
+    csv_path.write_text("id,text,emotion\na,feeling happy,happy\n")
+    with pytest.raises(SystemExit, match="needs .*images|images"):
+        cli.main(["train", "--preset", "joint_finetune", "--csv",
+                  str(csv_path), "--steps", "1"])

@@ -124,6 +124,10 @@ def _make_batches(args, cfg, vocab, train: bool):
     from tumblr_emotions_tpu.data import csv_dataset, pipeline
 
     bs = cfg.train.batch_size if train else cfg.train.eval_batch_size
+    if args.csv and cfg.model != "text":
+        raise SystemExit(
+            f"--csv provides text-only batches; model {cfg.model!r} needs "
+            "images — convert the dataset and pass --records instead")
     if args.csv:
         posts = csv_dataset.load_posts_csv(args.csv, emotions=_load_emotions(args))
         return csv_dataset.text_batches(
