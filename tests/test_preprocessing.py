@@ -80,3 +80,26 @@ def test_preprocess_for_train_is_jittable():
     f = jax.jit(lambda r, x: pp.preprocess_for_train(r, x, height=128, width=128))
     out = f(jax.random.PRNGKey(1), imgs)
     assert out.shape == (2, 128, 128, 3)
+
+
+def test_hsv_color_ops_match_tf():
+    """Saturation/hue adjustments use exact HSV math (tf.image semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    img = _rand_images(1, 48, 64, seed=3)[0].astype(np.float32) / 255.0
+    ours_hsv = np.asarray(pp.rgb_to_hsv(jnp.asarray(img)))
+    np.testing.assert_allclose(
+        ours_hsv, tf.image.rgb_to_hsv(tf.constant(img)).numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(pp.hsv_to_rgb(jnp.asarray(ours_hsv))), img, atol=1e-6)
+
+    hsv = pp.rgb_to_hsv(jnp.asarray(img))
+    sat = np.asarray(pp.hsv_to_rgb(
+        hsv.at[..., 1].set(jnp.clip(hsv[..., 1] * 0.7, 0, 1))))
+    np.testing.assert_allclose(
+        sat, tf.image.adjust_saturation(tf.constant(img), 0.7).numpy(),
+        atol=2e-6)
+    hue = np.asarray(pp.hsv_to_rgb(hsv.at[..., 0].set((hsv[..., 0] + 0.13) % 1.0)))
+    np.testing.assert_allclose(
+        hue, tf.image.adjust_hue(tf.constant(img), 0.13).numpy(), atol=2e-6)
