@@ -117,7 +117,12 @@ class PipelineConfig:
     drop_remainder: bool = True
     decode_threads: int = 8
     dct_method: str = "islow"
-    worker_count: int = 0          # grain subprocess workers (0 = in-process)
+    # grain subprocess workers (0 = in-process). NOTE: >0 requires an
+    # environment where forked python workers can start cleanly; this
+    # sandbox's sitecustomize imports jax (and dials the single-client TPU
+    # tunnel) in every process, which kills grain workers — use the C++
+    # decoder's own thread pool (decode_threads) for parallelism here.
+    worker_count: int = 0
     shard_index: int = 0           # this host's shard (multi-host DP)
     shard_count: int = 1
 
