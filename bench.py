@@ -67,12 +67,16 @@ def main() -> int:
     # Warmup / compile (forces completion via float()).
     float(fused(variables, dev_batches[0]))
 
-    t0 = time.perf_counter()
-    outs = [fused(variables, dev_batches[i % 4]) for i in range(steps)]
-    float(jnp.stack(outs).sum())  # single readback: everything finished
-    dt = time.perf_counter() - t0
+    # Median of 3 measurement windows: the remote-TPU link adds run-level
+    # jitter (~±10%) that a single window inherits.
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fused(variables, dev_batches[i % 4]) for i in range(steps)]
+        float(jnp.stack(outs).sum())  # single readback: everything finished
+        rates.append(batch * steps / (time.perf_counter() - t0))
 
-    ips = batch * steps / dt
+    ips = sorted(rates)[1]
     print(json.dumps({
         "metric": "fused_preprocess_forward_throughput",
         "value": round(ips, 1),
