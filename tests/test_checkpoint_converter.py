@@ -69,6 +69,21 @@ def test_exclude_scopes(small_inception, tmp_path):
         head_before)
 
 
+def test_exclude_scopes_segment_boundaries(small_inception, tmp_path):
+    """Excluding 'Logits' must NOT also drop 'AuxLogits' (slim matches scope
+    prefixes on path-segment boundaries, not substrings)."""
+    model, variables, x = small_inception
+    path = str(tmp_path / "model.ckpt")
+    ckpt_lib.save_as_slim_checkpoint(variables, path)
+
+    from flax import traverse_util
+    loaded = ckpt_lib.load_slim_checkpoint(path, exclude_scopes=("Logits",))
+    keys = traverse_util.flatten_dict(loaded["params"])
+    assert not any(p[0] == "Logits" for p in keys)
+    assert any(p[0] == "AuxLogits" for p in keys), \
+        "AuxLogits wrongly excluded by substring match"
+
+
 def test_merge_into_joint_model_subtree(small_inception, tmp_path):
     model, variables, x = small_inception
     path = str(tmp_path / "model.ckpt")

@@ -110,6 +110,23 @@ def test_device_prefetch(dataset_dir, v):
     assert n == 4
 
 
+def test_device_prefetch_propagates_producer_errors():
+    """A decode/IO failure mid-stream must surface in the consumer, not
+    masquerade as clean end-of-input (silent early stop)."""
+    from tumblr_emotions_tpu.parallel import create_mesh
+
+    mesh = create_mesh()
+
+    def bad_iter():
+        yield {"x": np.zeros((8, 3), np.float32)}
+        raise OSError("disk gone")
+
+    it = pipeline.device_prefetch(bad_iter(), mesh)
+    next(it)
+    with pytest.raises(OSError, match="disk gone"):
+        next(it)
+
+
 def test_arrayrecord_roundtrip_and_pipeline(tmp_path, v):
     exs = [records.post_to_example(_jpeg(i), f"post number {i} feeling happy",
                                    i % 15, post_id=str(i)) for i in range(10)]

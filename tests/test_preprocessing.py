@@ -5,6 +5,7 @@ reproduced or the 1e-4 logit budget is blown.  TF is installed in this
 environment purely as a test oracle (it is NOT a runtime dependency).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -80,6 +81,85 @@ def test_preprocess_for_train_is_jittable():
     f = jax.jit(lambda r, x: pp.preprocess_for_train(r, x, height=128, width=128))
     out = f(jax.random.PRNGKey(1), imgs)
     assert out.shape == (2, 128, 128, 3)
+
+
+@pytest.mark.parametrize("method,tf_method,tol", [
+    ("tf1", "BILINEAR", 1e-5),
+    ("nearest", "NEAREST_NEIGHBOR", 0.0),
+    ("bicubic", "BICUBIC", 3e-3),   # TF quantizes coeffs via a 1024-entry LUT
+    ("area", "AREA", 1e-4),
+])
+@pytest.mark.parametrize("crop", [(17, 33, 180, 250),   # downscale to 299
+                                  (5, 9, 120, 100)])    # upscale to 299
+def test_crop_resize_methods_match_tf(method, tf_method, tol, crop):
+    """The dynamic crop+resize against TF's resize of the same crop, for all
+    4 methods slim's apply_with_random_selector rotates through."""
+    import jax.numpy as jnp
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(240, 320, 3).astype(np.float32)
+    oy, ox, ch, cw = crop
+    ours = np.asarray(pp._crop_resize_one(
+        jnp.asarray(img), jnp.int32(oy), jnp.int32(ox), jnp.int32(ch),
+        jnp.int32(cw), 299, 299, method))
+    theirs = tf.compat.v1.image.resize_images(
+        tf.constant(img[oy:oy + ch, ox:ox + cw][None]), (299, 299),
+        method=getattr(tf.image.ResizeMethod, tf_method),
+        align_corners=False).numpy()[0]
+    np.testing.assert_allclose(ours, theirs, atol=max(tol, 1e-12), rtol=0)
+
+
+def test_crop_sampler_matches_tf_distribution():
+    """Oracle test for distorted_bounding_box_crop vs
+    tf.image.sample_distorted_bounding_box (whole-image bbox, slim defaults):
+    hard bounds (min_object_covered actually enforced, aspect in range) and
+    first/second moments of the area/aspect distributions."""
+    import jax
+
+    H, W = 240, 320
+    N = 1200
+    f = jax.jit(jax.vmap(
+        lambda k: jnp.stack(pp.distorted_bounding_box_crop(k, (H, W)))))
+    ours = np.asarray(f(jax.random.split(jax.random.PRNGKey(0), N)))
+    o_area = ours[:, 2] * ours[:, 3] / (H * W)
+    o_ar = ours[:, 3] / ours[:, 2]
+
+    bbox = tf.constant([[[0.0, 0.0, 1.0, 1.0]]])
+    shape = tf.constant([H, W, 3])
+    sizes = np.array([
+        tf.image.sample_distorted_bounding_box(
+            shape, bounding_boxes=bbox, seed=i + 1, min_object_covered=0.1,
+            aspect_ratio_range=(0.75, 1.333), area_range=(0.05, 1.0),
+            max_attempts=100, use_image_if_no_bounding_boxes=True)[1].numpy()
+        for i in range(N)])
+    t_area = sizes[:, 0] * sizes[:, 1] / (H * W)
+    t_ar = sizes[:, 1] / sizes[:, 0]
+
+    # Hard bounds: coverage constraint enforced (the round-1 sampler accepted
+    # 5%-area crops; TF rejects anything below min_object_covered=0.1).
+    assert o_area.min() >= 0.1 - 1e-6
+    assert o_area.max() <= 1.0 + 1e-6
+    # Aspect ratio in range, ± integer-rounding slop on small crops.
+    assert o_ar.min() >= 0.75 - 0.02 and o_ar.max() <= 1.333 + 0.02
+    # Distribution moments match TF's sampler.
+    assert abs(o_area.mean() - t_area.mean()) < 0.03
+    assert abs(o_area.std() - t_area.std()) < 0.03
+    assert abs(o_ar.mean() - t_ar.mean()) < 0.02
+    assert abs(o_ar.std() - t_ar.std()) < 0.02
+
+
+def test_preprocess_for_train_full_mode_jits():
+    """fast_mode=False exercises the 4-way random resize selection and the
+    4 color-distortion orderings under one jit."""
+    import jax
+
+    imgs = _rand_images(3, 120, 160)
+    f = jax.jit(lambda r, x: pp.preprocess_for_train(
+        r, x, height=128, width=128, fast_mode=False))
+    out = np.asarray(f(jax.random.PRNGKey(2), imgs))
+    assert out.shape == (3, 128, 128, 3)
+    assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+    assert not np.allclose(out[0], out[1])
 
 
 def test_hsv_color_ops_match_tf():

@@ -119,6 +119,36 @@ def test_pretrained_embedding_injection(tiny_csv):
         np.asarray(state.params["WordEmbedding/embeddings"]), matrix)
 
 
+def test_eval_loss_masks_padding(tiny_csv):
+    """Eval loss over a padded batch must equal the unpadded value — padding
+    rows (weight=0, duplicated examples) contribute to neither the metrics
+    nor the loss."""
+    cfg = get_preset("text_only")
+    cfg = cfg.replace(text=cfg.text.replace(vocab_size=100, embed_dim=8,
+                                            max_len=8))
+    posts = csv_dataset.load_posts_csv(tiny_csv)[:8]
+    v = vocab.build_vocabulary([p.text for p in posts], max_size=100, min_freq=1)
+    cfg = cfg.replace(text=cfg.text.replace(vocab_size=v.size))
+    trainer = Trainer(cfg)
+    clean = next(iter(csv_dataset.text_batches(
+        posts, v, 8, 8, shuffle=False, num_epochs=1)))
+    state = trainer.init_state(jax.random.PRNGKey(0), clean)
+
+    # Pad the batch to 16 rows by repeating the last example with weight=0.
+    def pad(x):
+        return np.concatenate([x, np.repeat(x[-1:], 8, axis=0)], axis=0)
+
+    padded = {k: pad(np.asarray(val)) for k, val in clean.items()}
+    padded["weight"] = np.array([1] * 8 + [0] * 8, np.int32)
+
+    s_clean = trainer.evaluate(state, [clean])
+    s_padded = trainer.evaluate(state, [padded])
+    assert s_padded["count"] == s_clean["count"] == 8
+    assert abs(s_padded["loss"] - s_clean["loss"]) < 1e-5, \
+        (s_padded["loss"], s_clean["loss"])
+    assert abs(s_padded["accuracy"] - s_clean["accuracy"]) < 1e-9
+
+
 def test_trainable_scope_matching_is_segment_based():
     """'Logits' must not match 'AuxLogits' (slim prefix semantics)."""
     from tumblr_emotions_tpu.train.trainer import make_optimizer

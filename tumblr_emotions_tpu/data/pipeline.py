@@ -218,8 +218,9 @@ def device_prefetch(batch_iter: Iterable[Dict[str, np.ndarray]], mesh,
         try:
             for batch in batch_iter:
                 q.put(shard_batch(mesh, batch))
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate: a decode/IO failure must NOT
+            q.put(e)                # look like clean end-of-input
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
@@ -227,6 +228,8 @@ def device_prefetch(batch_iter: Iterable[Dict[str, np.ndarray]], mesh,
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

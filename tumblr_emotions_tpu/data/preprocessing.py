@@ -127,7 +127,18 @@ def distorted_bounding_box_crop(
         aspect_ratio_range: Tuple[float, float] = (0.75, 1.333),
         area_range: Tuple[float, float] = (0.05, 1.0),
         max_attempts: int = 100) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Sample a crop window like tf.image.sample_distorted_bounding_box.
+    """Sample a crop window with tf.image.sample_distorted_bounding_box
+    semantics (slim's train crop passes the whole image as the bbox).
+
+    Faithful to TF's C++ sampler: aspect ratio drawn UNIFORMLY over the
+    range, integer crop height drawn uniformly over the band of heights
+    whose round-half-even width keeps the crop area inside ``area_range``,
+    ±1-row corrections for rounding drift, and the ``min_object_covered``
+    overlap constraint — with the full-image bbox this is
+    crop_area / image_area >= min_object_covered, so with the slim defaults
+    (covered=0.1, area_range=(0.05, 1.0)) sub-10%-area crops are REJECTED.
+    Falls back to the whole image when no attempt satisfies the
+    constraints, exactly like TF.
 
     Returns (offset_y, offset_x, crop_h, crop_w) as traced int32 scalars.
     Implemented as a fixed-trip rejection sampler under ``lax`` control flow
@@ -135,22 +146,48 @@ def distorted_bounding_box_crop(
     """
     h, w = image_hw
     area = float(h * w)
+    min_area = area_range[0] * area
+    max_area = area_range[1] * area
 
     def attempt(rng):
-        r_ar, r_area, r_y, r_x = jax.random.split(rng, 4)
-        log_lo, log_hi = np.log(aspect_ratio_range[0]), np.log(aspect_ratio_range[1])
-        ar = jnp.exp(jax.random.uniform(r_ar, (), minval=log_lo, maxval=log_hi))
-        target_area = jax.random.uniform(
-            r_area, (), minval=area_range[0], maxval=area_range[1]) * area
-        cw = jnp.sqrt(target_area * ar)
-        ch = jnp.sqrt(target_area / ar)
-        cw = jnp.clip(jnp.round(cw), 1, w).astype(jnp.int32)
-        ch = jnp.clip(jnp.round(ch), 1, h).astype(jnp.int32)
-        ok = (cw <= w) & (ch <= h) & ((ch * cw).astype(jnp.float32) / area
-                                      >= min_object_covered * 0.0 + area_range[0] * 0.0)
-        oy = jax.random.randint(r_y, (), 0, jnp.maximum(h - ch + 1, 1))
-        ox = jax.random.randint(r_x, (), 0, jnp.maximum(w - cw + 1, 1))
-        return ok, (oy, ox, ch, cw)
+        r_ar, r_h, r_y, r_x = jax.random.split(rng, 4)
+        ar = jax.random.uniform(r_ar, (), minval=aspect_ratio_range[0],
+                                maxval=aspect_ratio_range[1])
+
+        def rw(height):  # round-half-even width, like TF's lrintf
+            return jnp.round(height.astype(jnp.float32) * ar).astype(jnp.int32)
+
+        ch = jnp.round(jnp.sqrt(min_area / ar)).astype(jnp.int32)
+        max_h = jnp.round(jnp.sqrt(max_area / ar)).astype(jnp.int32)
+        # Shrink max_h until its rounded width fits inside the image.
+        alt = jnp.floor((w + 0.5 - 1e-7) / ar).astype(jnp.int32)
+        alt = jnp.where(rw(alt) > w, alt - 1, alt)
+        max_h = jnp.where(rw(max_h) > w, alt, max_h)
+        max_h = jnp.minimum(max_h, h)
+        ch = jnp.minimum(ch, max_h)
+        ch = ch + jax.random.randint(r_h, (), 0, jnp.maximum(max_h - ch + 1, 1))
+        cw = rw(ch)
+        # ±1-row area corrections, then the validity test (TF order).
+        low = (cw * ch).astype(jnp.float32) < min_area
+        ch = jnp.where(low, ch + 1, ch)
+        cw = jnp.where(low, rw(ch), cw)
+        high = (cw * ch).astype(jnp.float32) > max_area
+        ch = jnp.where(high, ch - 1, ch)
+        cw = jnp.where(high, rw(ch), cw)
+        crop_area = (cw * ch).astype(jnp.float32)
+        generated = ((crop_area >= min_area) & (crop_area <= max_area)
+                     & (cw <= w) & (ch <= h) & (cw > 0) & (ch > 0))
+        # Overlap constraint against the (whole-image) bounding box.
+        ok = generated & (crop_area / area >= min_object_covered)
+        # TF places offsets with Uniform(H - h) — the crop never starts at
+        # the very last admissible row unless h == H (quirk retained).
+        oy = jnp.where(ch < h,
+                       jax.random.randint(r_y, (), 0, jnp.maximum(h - ch, 1)),
+                       0)
+        ox = jnp.where(cw < w,
+                       jax.random.randint(r_x, (), 0, jnp.maximum(w - cw, 1)),
+                       0)
+        return ok, (oy, ox, jnp.clip(ch, 1, h), jnp.clip(cw, 1, w))
 
     def body(carry, rng_i):
         found, best = carry
@@ -168,39 +205,99 @@ def distorted_bounding_box_crop(
     return best
 
 
+def _axis_taps(out_size: int, off, size, in_size: int, method: str):
+    """Per-axis gather indices + weights for a dynamic crop-and-resize.
+
+    Returns (idx [out, K] int32 absolute input coords, w [out, K] f32) such
+    that output[o] = sum_k w[o, k] * input[idx[o, k]].  ``off``/``size`` are
+    traced crop parameters; ``in_size`` is the static full-image extent,
+    which bounds the tap count K for the "area" method.
+    """
+    scale = size.astype(jnp.float32) / out_size
+    o = jnp.arange(out_size, dtype=jnp.float32)
+
+    if method == "nearest":
+        # TF1 legacy ResizeNearestNeighbor: in = min(floor(o*scale), size-1).
+        src = o * scale
+        idx = jnp.minimum(jnp.floor(src), size.astype(jnp.float32) - 1)
+        idx = idx.astype(jnp.int32) + off
+        return idx[:, None], jnp.ones((out_size, 1), jnp.float32)
+
+    if method in ("tf1", "half_pixel", "bilinear"):
+        src = o * scale
+        if method == "half_pixel":
+            src = (o + 0.5) * scale - 0.5
+        src = jnp.clip(src, 0.0, size.astype(jnp.float32) - 1.0)
+        lo = jnp.floor(src)
+        frac = src - lo
+        lo = lo.astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, size - 1)
+        idx = jnp.stack([lo, hi], axis=-1) + off
+        wts = jnp.stack([1.0 - frac, frac], axis=-1)
+        return idx, wts
+
+    if method == "bicubic":
+        # TF1 legacy ResizeBicubic: Keys kernel A=-0.75, 4 taps at
+        # floor(src)-1..+2, each clamped to the valid range.  (TF quantizes
+        # coefficients through a 1024-entry table; analytic weights here
+        # agree to ~1e-3 — test tolerance reflects that.)
+        a = -0.75
+        src = o * scale
+        p = jnp.floor(src)
+        t = src - p
+        p = p.astype(jnp.int32)
+
+        def edge(s):   # 1 < |s| <= 2
+            return ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a
+
+        def center(s):  # |s| <= 1
+            return ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
+
+        wts = jnp.stack([edge(1.0 + t), center(t), center(1.0 - t),
+                         edge(2.0 - t)], axis=-1)
+        taps = jnp.stack([p - 1, p, p + 1, p + 2], axis=-1)
+        idx = jnp.clip(taps, 0, size - 1) + off
+        return idx, wts
+
+    if method == "area":
+        # TF1 ResizeArea: output cell o averages input cells overlapping
+        # [o*scale, (o+1)*scale), weighted by overlap length, normalized by
+        # 1/scale per axis.  K is bounded by the worst-case (full-image
+        # crop) downscale factor — static, so shapes stay static.
+        k_taps = int(np.ceil(in_size / out_size)) + 2
+        start = o * scale
+        end = (o + 1.0) * scale
+        base = jnp.floor(start)
+        i = base[:, None] + jnp.arange(k_taps, dtype=jnp.float32)[None, :]
+        wts = jnp.clip(jnp.minimum(i + 1.0, end[:, None])
+                       - jnp.maximum(i, start[:, None]), 0.0, None)
+        wts = wts / scale
+        idx = jnp.clip(i.astype(jnp.int32), 0, size - 1) + off
+        return idx, wts
+
+    raise ValueError(f"unknown resize method {method!r}")
+
+
 def _crop_resize_one(image: jax.Array, oy, ox, ch, cw, height: int, width: int,
                      method: str) -> jax.Array:
     """Dynamic crop + resize for one [H,W,C] image with traced crop params.
 
     Dynamic crop sizes can't change the traced shape, so the crop+resize pair
     is expressed as a single dynamic interpolation: for output row o we sample
-    source row oy + o*(ch/out_h) (TF1 grid).  Gathers of 2 neighbor rows/cols
-    + lerp; static output shape [height, width, C].
+    source row oy + o*(ch/out_h) (TF1 grid) with the method's tap weights;
+    static output shape [height, width, C].  Methods: "tf1" (legacy
+    bilinear), "half_pixel" (TF2 bilinear), "nearest", "bicubic", "area" —
+    the four cases slim's apply_with_random_selector rotates through.
     """
     h, w, c = image.shape
-    x = image
-
-    def axis_index(out_size, off, size, in_size):
-        scale = size.astype(jnp.float32) / out_size
-        src = jnp.arange(out_size, dtype=jnp.float32) * scale
-        if method == "half_pixel":
-            src = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * scale - 0.5
-        src = jnp.clip(src, 0.0, size.astype(jnp.float32) - 1.0)
-        src = src + off.astype(jnp.float32)
-        lo = jnp.floor(src).astype(jnp.int32)
-        hi = jnp.minimum(lo + 1, off + size - 1)
-        frac = src - lo.astype(jnp.float32)
-        return lo, hi, frac
-
-    ylo, yhi, yfrac = axis_index(height, oy, ch, h)
-    xlo, xhi, xfrac = axis_index(width, ox, cw, w)
-
-    top = jnp.take(x, ylo, axis=0)
-    bot = jnp.take(x, yhi, axis=0)
-    rows = top + (bot - top) * yfrac[:, None, None]
-    left = jnp.take(rows, xlo, axis=1)
-    right = jnp.take(rows, xhi, axis=1)
-    return left + (right - left) * xfrac[None, :, None]
+    yidx, yw = _axis_taps(height, oy, ch, h, method)
+    xidx, xw = _axis_taps(width, ox, cw, w, method)
+    # [out_h, Ky, W, C] gather -> weighted sum over Ky -> [out_h, W, C]
+    rows = jnp.take(image, yidx, axis=0)
+    rows = jnp.einsum("okwc,ok->owc", rows, yw)
+    # [out_h, out_w, Kx, C] gather -> weighted sum over Kx.
+    cols = jnp.take(rows, xidx, axis=1)
+    return jnp.einsum("opkc,pk->opc", cols, xw)
 
 
 def preprocess_for_train(rng: jax.Array, images: jax.Array,
@@ -212,17 +309,32 @@ def preprocess_for_train(rng: jax.Array, images: jax.Array,
     random flip, color distortion, scale to [-1, 1].
 
     ``fast_mode`` (slim's default for train throughput) restricts color
-    distortion to brightness+saturation orderings.
+    distortion to brightness+saturation orderings and resizes with a single
+    method; full mode rotates the resize through slim's 4
+    ``apply_with_random_selector`` cases (bilinear / nearest / bicubic /
+    area) chosen uniformly per image.
     """
     n, h, w, c = images.shape
     x = images.astype(dtype)
     if jnp.issubdtype(images.dtype, jnp.integer):
         x = x / jnp.asarray(255.0, dtype)
 
+    resize_cases = ([resize_method] if fast_mode
+                    else [resize_method, "nearest", "bicubic", "area"])
+
     def one(rng, img):
-        r_crop, r_flip, r_color, r_order = jax.random.split(rng, 4)
+        r_crop, r_resize, r_flip, r_color, r_order = jax.random.split(rng, 5)
         oy, ox, ch, cw = distorted_bounding_box_crop(r_crop, (h, w))
-        img = _crop_resize_one(img, oy, ox, ch, cw, height, width, resize_method)
+        if len(resize_cases) == 1:
+            img = _crop_resize_one(img, oy, ox, ch, cw, height, width,
+                                   resize_cases[0])
+        else:
+            branches = [
+                (lambda m: lambda im: _crop_resize_one(
+                    im, oy, ox, ch, cw, height, width, m))(m)
+                for m in resize_cases]
+            case = jax.random.randint(r_resize, (), 0, len(branches))
+            img = jax.lax.switch(case, branches, img)
         img = jnp.where(jax.random.bernoulli(r_flip), img[:, ::-1, :], img)
         img = distort_color(r_color, r_order, img, fast_mode=fast_mode)
         return jnp.clip(img, 0.0, 1.0) * 2.0 - 1.0

@@ -167,13 +167,15 @@ def l2_regularization(params, weight_decay: float) -> jax.Array:
 
 
 def cross_entropy(logits: jax.Array, labels: jax.Array,
-                  label_smoothing: float = 0.0) -> jax.Array:
+                  label_smoothing: float = 0.0,
+                  reduce: bool = True) -> jax.Array:
     logits = logits.astype(jnp.float32)
     num_classes = logits.shape[-1]
     onehot = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32)
     if label_smoothing > 0:
         onehot = onehot * (1 - label_smoothing) + label_smoothing / num_classes
-    return jnp.mean(optax.softmax_cross_entropy(logits, onehot))
+    per_example = optax.softmax_cross_entropy(logits, onehot)
+    return jnp.mean(per_example) if reduce else per_example
 
 
 # ---------------------------------------------------------------------------
@@ -283,12 +285,19 @@ class Trainer:
 
     def eval_step(self, state: TrainState, batch):
         batch = self._maybe_preprocess(batch, False, None)
-        loss, (logits, _) = self._loss_fn(
-            state.params, state.batch_stats, batch, jax.random.PRNGKey(0), False)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits, _ = self.forward(variables, batch, train=False)
         stats = metrics_lib.batch_stats(logits, batch["label"],
                                         self.cfg.image.num_classes,
                                         weights=batch.get("weight"))
-        stats["loss_sum"] = loss * stats["count"].astype(jnp.float32)
+        # Pad-masked eval loss: weight=0 rows (last-batch padding) contribute
+        # nothing; the L2 term is per-example-constant so it scales by count.
+        per_ex = cross_entropy(logits, batch["label"], reduce=False)
+        w = batch.get("weight")
+        w = (jnp.ones_like(per_ex) if w is None else w.astype(jnp.float32))
+        l2 = l2_regularization(state.params, self.cfg.train.weight_decay)
+        stats["loss_sum"] = (jnp.sum(per_ex * w)
+                             + l2 * stats["count"].astype(jnp.float32))
         return stats
 
     def compile(self):

@@ -58,7 +58,11 @@ def load_slim_checkpoint(ckpt_path: str, root_scope: str = "InceptionV3",
         if any(s in key for s in _SKIP_SUBSTRINGS):
             continue
         rel = key[len(prefix):]
-        if any(ex in rel for ex in exclude_scopes):
+        # Scope-prefix matching on path-segment boundaries, like slim's
+        # get_variables_to_restore: excluding "Logits" must not also drop
+        # "AuxLogits" (a substring match would).
+        if any(rel == ex or rel.startswith(ex + "/") or f"/{ex}/" in rel
+               or rel.endswith("/" + ex) for ex in exclude_scopes):
             continue
         path = tuple(rel.split("/"))
         value = np.asarray(reader.get_tensor(key))
