@@ -36,6 +36,35 @@ def _conv(x, folded, scope, strides=(1, 1), padding="VALID", relu=True,
     return y.astype(dtype)
 
 
+def _packed_conv1x1(x, folded, scopes, dtype):
+    """N parallel 1x1 branches over the SAME input as ONE conv.
+
+    Every Inception block starts 3-4 branches with a 1x1 conv of the block
+    input; issuing them separately makes XLA re-read the input from HBM per
+    branch and runs each GEMM at a fraction of the MXU width.  Concatenating
+    the folded kernels along Cout is mathematically exact and turns them
+    into one wide GEMM with one input read.
+
+    Returns the per-branch PRE-activation slices (f32, bias added, no relu):
+    the avg-pool branch needs pool-then-relu (1x1 conv+bias commutes with
+    count_include_pad=False average pooling, relu does not).
+    """
+    ws = [folded[s][0] for s in scopes]
+    w = np.concatenate(ws, axis=-1)
+    b = np.concatenate([folded[s][1] for s in scopes])
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), jnp.asarray(w, dtype),
+        window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = y + jnp.asarray(b, jnp.float32)
+    outs, off = [], 0
+    for wi in ws:
+        outs.append(y[..., off:off + wi.shape[-1]])
+        off += wi.shape[-1]
+    return outs
+
+
 class FusedInceptionV3:
     """Inference-only Inception-v3 over BN-folded weights.
 
@@ -46,7 +75,7 @@ class FusedInceptionV3:
 
     def __init__(self, variables: Dict, dtype=jnp.bfloat16,
                  use_pallas: bool = True, interpret: bool = False,
-                 images_per_block: int = 1):
+                 images_per_block: int = 1, pack_branches: bool = True):
         self.folded = fold_batchnorm(
             jax.device_get(variables["params"]),
             jax.device_get(variables.get("batch_stats", {})))
@@ -54,6 +83,15 @@ class FusedInceptionV3:
         self.use_pallas = use_pallas
         self.interpret = interpret
         self.images_per_block = images_per_block
+        self.pack_branches = pack_branches
+
+    def _relu(self, y):
+        return jnp.maximum(y, 0.0).astype(self.dtype)
+
+    def _pool_branch(self, pre):
+        """avg-pool(3x3 SAME) then relu a pre-activation 1x1 branch."""
+        p = nn.avg_pool(pre, (3, 3), (1, 1), "SAME", count_include_pad=False)
+        return self._relu(p)
 
     def __call__(self, x: jax.Array) -> jax.Array:
         """Preprocessed [B, 299, 299, 3] -> pre-logits feature [B, 2048]
@@ -96,9 +134,17 @@ class FusedInceptionV3:
                 net = self._xla_inception_b(net, scope)
 
         # Mixed_7a reduction
-        b0 = conv(net, scope="Mixed_7a/Branch_0/Conv2d_0a_1x1", padding="SAME")
+        if self.pack_branches:
+            p0, p1 = _packed_conv1x1(
+                net, f, ["Mixed_7a/Branch_0/Conv2d_0a_1x1",
+                         "Mixed_7a/Branch_1/Conv2d_0a_1x1"], self.dtype)
+            b0, b1 = self._relu(p0), self._relu(p1)
+        else:
+            b0 = conv(net, scope="Mixed_7a/Branch_0/Conv2d_0a_1x1",
+                      padding="SAME")
+            b1 = conv(net, scope="Mixed_7a/Branch_1/Conv2d_0a_1x1",
+                      padding="SAME")
         b0 = conv(b0, scope="Mixed_7a/Branch_0/Conv2d_1a_3x3", strides=(2, 2))
-        b1 = conv(net, scope="Mixed_7a/Branch_1/Conv2d_0a_1x1", padding="SAME")
         b1 = conv(b1, scope="Mixed_7a/Branch_1/Conv2d_0b_1x7", padding="SAME")
         b1 = conv(b1, scope="Mixed_7a/Branch_1/Conv2d_0c_7x1", padding="SAME")
         b1 = conv(b1, scope="Mixed_7a/Branch_1/Conv2d_1a_3x3", strides=(2, 2))
@@ -126,46 +172,79 @@ class FusedInceptionV3:
                                  padding="SAME")
         b1n = ("Conv2d_0b_1x1", "Conv_1_0c_5x5") if quirky else \
             ("Conv2d_0a_1x1", "Conv2d_0b_5x5")
-        b0 = conv(net, scope=f"{scope}/Branch_0/Conv2d_0a_1x1")
-        b1 = conv(net, scope=f"{scope}/Branch_1/{b1n[0]}")
+        if self.pack_branches:
+            p0, p1, p2, p3 = _packed_conv1x1(
+                net, self.folded,
+                [f"{scope}/Branch_0/Conv2d_0a_1x1",
+                 f"{scope}/Branch_1/{b1n[0]}",
+                 f"{scope}/Branch_2/Conv2d_0a_1x1",
+                 f"{scope}/Branch_3/Conv2d_0b_1x1"], self.dtype)
+            b0, b1, b2 = self._relu(p0), self._relu(p1), self._relu(p2)
+            b3 = self._pool_branch(p3)
+        else:
+            b0 = conv(net, scope=f"{scope}/Branch_0/Conv2d_0a_1x1")
+            b1 = conv(net, scope=f"{scope}/Branch_1/{b1n[0]}")
+            b2 = conv(net, scope=f"{scope}/Branch_2/Conv2d_0a_1x1")
+            b3 = nn.avg_pool(net, (3, 3), (1, 1), "SAME",
+                             count_include_pad=False)
+            b3 = conv(b3, scope=f"{scope}/Branch_3/Conv2d_0b_1x1")
         b1 = conv(b1, scope=f"{scope}/Branch_1/{b1n[1]}")
-        b2 = conv(net, scope=f"{scope}/Branch_2/Conv2d_0a_1x1")
         b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0b_3x3")
         b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0c_3x3")
-        b3 = nn.avg_pool(net, (3, 3), (1, 1), "SAME", count_include_pad=False)
-        b3 = conv(b3, scope=f"{scope}/Branch_3/Conv2d_0b_1x1")
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
     def _xla_inception_b(self, net, scope):
         conv = functools.partial(_conv, folded=self.folded, dtype=self.dtype,
                                  padding="SAME")
-        b0 = conv(net, scope=f"{scope}/Branch_0/Conv2d_0a_1x1")
-        b1 = conv(net, scope=f"{scope}/Branch_1/Conv2d_0a_1x1")
+        if self.pack_branches:
+            p0, p1, p2, p3 = _packed_conv1x1(
+                net, self.folded,
+                [f"{scope}/Branch_0/Conv2d_0a_1x1",
+                 f"{scope}/Branch_1/Conv2d_0a_1x1",
+                 f"{scope}/Branch_2/Conv2d_0a_1x1",
+                 f"{scope}/Branch_3/Conv2d_0b_1x1"], self.dtype)
+            b0, b1, b2 = self._relu(p0), self._relu(p1), self._relu(p2)
+            b3 = self._pool_branch(p3)
+        else:
+            b0 = conv(net, scope=f"{scope}/Branch_0/Conv2d_0a_1x1")
+            b1 = conv(net, scope=f"{scope}/Branch_1/Conv2d_0a_1x1")
+            b2 = conv(net, scope=f"{scope}/Branch_2/Conv2d_0a_1x1")
+            b3 = nn.avg_pool(net, (3, 3), (1, 1), "SAME",
+                             count_include_pad=False)
+            b3 = conv(b3, scope=f"{scope}/Branch_3/Conv2d_0b_1x1")
         b1 = conv(b1, scope=f"{scope}/Branch_1/Conv2d_0b_1x7")
         b1 = conv(b1, scope=f"{scope}/Branch_1/Conv2d_0c_7x1")
-        b2 = conv(net, scope=f"{scope}/Branch_2/Conv2d_0a_1x1")
         b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0b_7x1")
         b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0c_1x7")
         b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0d_7x1")
         b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0e_1x7")
-        b3 = nn.avg_pool(net, (3, 3), (1, 1), "SAME", count_include_pad=False)
-        b3 = conv(b3, scope=f"{scope}/Branch_3/Conv2d_0b_1x1")
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
 
     def _xla_inception_c(self, net, scope, quirky_7c):
         conv = functools.partial(_conv, folded=self.folded, dtype=self.dtype,
                                  padding="SAME")
         n31 = "Conv2d_0c_3x1" if quirky_7c else "Conv2d_0b_3x1"
-        b0 = conv(net, scope=f"{scope}/Branch_0/Conv2d_0a_1x1")
-        b1 = conv(net, scope=f"{scope}/Branch_1/Conv2d_0a_1x1")
+        if self.pack_branches:
+            p0, p1, p2, p3 = _packed_conv1x1(
+                net, self.folded,
+                [f"{scope}/Branch_0/Conv2d_0a_1x1",
+                 f"{scope}/Branch_1/Conv2d_0a_1x1",
+                 f"{scope}/Branch_2/Conv2d_0a_1x1",
+                 f"{scope}/Branch_3/Conv2d_0b_1x1"], self.dtype)
+            b0, b1, b2 = self._relu(p0), self._relu(p1), self._relu(p2)
+            b3 = self._pool_branch(p3)
+        else:
+            b0 = conv(net, scope=f"{scope}/Branch_0/Conv2d_0a_1x1")
+            b1 = conv(net, scope=f"{scope}/Branch_1/Conv2d_0a_1x1")
+            b2 = conv(net, scope=f"{scope}/Branch_2/Conv2d_0a_1x1")
+            b3 = nn.avg_pool(net, (3, 3), (1, 1), "SAME",
+                             count_include_pad=False)
+            b3 = conv(b3, scope=f"{scope}/Branch_3/Conv2d_0b_1x1")
         b1 = jnp.concatenate([
             conv(b1, scope=f"{scope}/Branch_1/Conv2d_0b_1x3"),
             conv(b1, scope=f"{scope}/Branch_1/{n31}")], axis=-1)
-        b2 = conv(net, scope=f"{scope}/Branch_2/Conv2d_0a_1x1")
         b2 = conv(b2, scope=f"{scope}/Branch_2/Conv2d_0b_3x3")
         b2 = jnp.concatenate([
             conv(b2, scope=f"{scope}/Branch_2/Conv2d_0c_1x3"),
             conv(b2, scope=f"{scope}/Branch_2/Conv2d_0d_3x1")], axis=-1)
-        b3 = nn.avg_pool(net, (3, 3), (1, 1), "SAME", count_include_pad=False)
-        b3 = conv(b3, scope=f"{scope}/Branch_3/Conv2d_0b_1x1")
         return jnp.concatenate([b0, b1, b2, b3], axis=-1)
