@@ -57,6 +57,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "then the remaining steps train end-to-end — the "
                         "reference's warm-start recipe")
     p.add_argument("--seed", type=int, default=-1)
+    # Multi-host (SURVEY.md §2c DCN row): auto-detected from the cluster
+    # environment; pass --coordinator-address to force explicit init.
+    p.add_argument("--coordinator-address", default="")
+    p.add_argument("--num-processes", type=int, default=0)
+    p.add_argument("--process-id", type=int, default=-1)
 
 
 def _build_config(args):
@@ -120,8 +125,20 @@ def _load_vocab(args, cfg, texts=None):
     return v
 
 
+def _maybe_init_distributed(args) -> None:
+    """Multi-host init: explicit coordinator if given, else cluster-env
+    auto-detection (parallel/distributed.py)."""
+    from tumblr_emotions_tpu.parallel import distributed
+
+    distributed.maybe_initialize(
+        coordinator_address=args.coordinator_address or None,
+        num_processes=args.num_processes or None,
+        process_id=args.process_id if args.process_id >= 0 else None)
+
+
 def _make_batches(args, cfg, vocab, train: bool):
     from tumblr_emotions_tpu.data import csv_dataset, pipeline
+    from tumblr_emotions_tpu.parallel import distributed
 
     bs = cfg.train.batch_size if train else cfg.train.eval_batch_size
     if args.csv and cfg.model != "text":
@@ -136,10 +153,15 @@ def _make_batches(args, cfg, vocab, train: bool):
             drop_remainder=train)
     if not args.records:
         raise SystemExit("need --records or --csv")
+    # Per-host input sharding: in a multi-host run each process reads only
+    # its slice of the records (train only — eval must see every example).
+    shard_index, shard_count = (distributed.host_shard_options()
+                                if train else (0, 1))
     pcfg = pipeline.PipelineConfig(
         batch_size=bs, max_len=cfg.text.max_len, shuffle=train,
         seed=cfg.train.seed, num_epochs=None if train else 1,
-        drop_remainder=train, decode_threads=cfg.data.num_workers)
+        drop_remainder=train, decode_threads=cfg.data.num_workers,
+        shard_index=shard_index, shard_count=shard_count)
     return pipeline.batches(args.records, vocab, pcfg)
 
 
@@ -185,6 +207,7 @@ def _init_trainer_state(args, cfg, vocab, sample_batch):
 
 
 def cmd_train(args) -> int:
+    _maybe_init_distributed(args)
     cfg = _build_config(args)
     vocab = None
     if cfg.model in ("text", "joint"):
@@ -240,18 +263,28 @@ def cmd_eval(args) -> int:
     vocab = _load_vocab(args, cfg) if cfg.model in ("text", "joint") else None
     batches = list(_make_batches(args, cfg, vocab, train=False))
     trainer, state, cfg = _init_trainer_state(args, cfg, vocab, batches[0])
+    # Eval batches may arrive as uint8 host images: use eval preprocessing.
+    if trainer.preprocess is not None:
+        trainer.preprocess = "eval"
+    from tumblr_emotions_tpu.utils.metrics import format_per_class
+
+    if args.follow:
+        # slim evaluation_loop mode: evaluate every new checkpoint until the
+        # train run's final step (SURVEY.md §3.3).
+        for step, summary in trainer.evaluate_continuously(
+                state, lambda: batches, class_names=emotions,
+                interval_secs=args.eval_interval,
+                timeout_secs=args.eval_timeout or None):
+            print(f"== step {step} ==")
+            print(format_per_class(summary))
+        return 0
     restored = trainer.restore_latest(state)
     if restored is None:
         log.warning("no checkpoint found in %s; evaluating fresh init",
                     cfg.train.checkpoint_dir)
     else:
         state = restored
-    # Eval batches may arrive as uint8 host images: use eval preprocessing.
-    if trainer.preprocess is not None:
-        trainer.preprocess = "eval"
     summary = trainer.evaluate(state, batches, class_names=emotions)
-    from tumblr_emotions_tpu.utils.metrics import format_per_class
-
     print(format_per_class(summary))
     return 0
 
@@ -338,6 +371,84 @@ def cmd_analyze(args) -> int:
     result = analysis.circumplex(probs, labels, emotions=emotions)
     print(analysis.format_circumplex(result))
     return 0
+
+
+def cmd_parity(args) -> int:
+    """One-shot parity gate (SURVEY.md §6 north star: logits within 1e-4 of
+    the reference slim graph).
+
+    ``--goldens`` is an .npz with either ``raw`` (uint8 [N,H,W,3], run
+    through eval preprocessing) or ``images`` (float32 [N,299,299,3],
+    already preprocessed), plus ``logits`` (float32 [N,num_classes]) from
+    the reference graph.  With ``--save-goldens`` the command instead
+    WRITES such a file from this framework's own forward pass (fixture
+    generation / self-test).  num_classes and the aux head are inferred
+    from the checkpoint so a stock 1001-class slim ImageNet ckpt works
+    as-is the moment the driver supplies one (SURVEY.md §7a).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+    from tumblr_emotions_tpu.models import InceptionV3
+    from tumblr_emotions_tpu.utils import checkpoint as ckpt_lib
+
+    if not args.warmstart:
+        raise SystemExit("parity needs --warmstart <slim.ckpt>")
+    pretrained = ckpt_lib.load_slim_checkpoint(args.warmstart,
+                                               exclude_scopes=())
+    logits_w = pretrained["params"].get("Logits", {}) \
+        .get("Conv2d_1c_1x1", {}).get("weights")
+    if logits_w is None:
+        raise SystemExit("checkpoint has no Logits/Conv2d_1c_1x1 — cannot "
+                         "run the logit-parity gate against it")
+    num_classes = int(np.asarray(logits_w).shape[-1])
+    has_aux = "AuxLogits" in pretrained["params"]
+
+    model = InceptionV3(num_classes=num_classes, create_aux_logits=has_aux,
+                        depth_multiplier=args.depth_multiplier,
+                        min_depth=args.min_depth,
+                        dtype=jnp.float32, precision="highest")
+    data = np.load(args.goldens) if not args.save_goldens else (
+        np.load(args.images) if args.images else None)
+    if data is None:
+        raise SystemExit("need --goldens (check) or --images (generate)")
+    if "images" in data:
+        images = jnp.asarray(data["images"], jnp.float32)
+    elif "raw" in data:
+        images = preprocess_for_eval(jnp.asarray(data["raw"]),
+                                     dtype=jnp.float32)
+    else:
+        raise SystemExit("npz must contain 'images' (preprocessed f32) or "
+                         "'raw' (uint8)")
+
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           images[:1], train=False)
+    merged = ckpt_lib.merge_pretrained(
+        {"params": variables["params"],
+         "batch_stats": variables.get("batch_stats", {})}, pretrained)
+    logits, _ = jax.jit(
+        lambda v, x: model.apply(v, x, train=False))(merged, images)
+    logits = np.asarray(logits, np.float32)
+
+    if args.save_goldens:
+        out = {"logits": logits}
+        out["images" if "images" in data else "raw"] = \
+            np.asarray(data["images" if "images" in data else "raw"])
+        np.savez(args.save_goldens, **out)
+        print(f"wrote goldens for {len(logits)} examples to "
+              f"{args.save_goldens}")
+        return 0
+
+    want = np.asarray(data["logits"], np.float32)
+    if want.shape != logits.shape:
+        raise SystemExit(f"golden logits {want.shape} != model {logits.shape}")
+    max_abs = float(np.max(np.abs(want - logits)))
+    ok = max_abs <= args.tolerance
+    print(json.dumps({"max_abs_diff": max_abs, "tolerance": args.tolerance,
+                      "num_examples": int(len(logits)),
+                      "num_classes": num_classes, "pass": ok}))
+    return 0 if ok else 1
 
 
 def cmd_convert_dataset(args) -> int:
@@ -439,6 +550,15 @@ def main(argv=None) -> int:
         if name == "predict":
             p.add_argument("--image", default="")
             p.add_argument("--text", default="")
+        if name == "eval":
+            p.add_argument("--follow", action="store_true",
+                           help="continuous mode: evaluate each new "
+                                "checkpoint (slim evaluation_loop)")
+            p.add_argument("--eval-interval", type=float, default=30.0,
+                           help="--follow poll interval (seconds)")
+            p.add_argument("--eval-timeout", type=float, default=0.0,
+                           help="--follow: stop after this long with no "
+                                "new checkpoint (0 = wait forever)")
         p.set_defaults(fn=fn)
 
     p = sub.add_parser("convert-dataset")
@@ -450,6 +570,21 @@ def main(argv=None) -> int:
     p.add_argument("--format", choices=["tfrecord", "arrayrecord"],
                    default="tfrecord")
     p.set_defaults(fn=cmd_convert_dataset)
+
+    p = sub.add_parser("parity")
+    p.add_argument("--warmstart", required=True,
+                   help="slim .ckpt with Logits head (e.g. ImageNet ckpt)")
+    p.add_argument("--goldens", default="",
+                   help=".npz with raw/images + reference logits")
+    p.add_argument("--images", default="",
+                   help=".npz with raw/images (for --save-goldens)")
+    p.add_argument("--save-goldens", default="",
+                   help="write goldens from this framework's forward")
+    p.add_argument("--tolerance", type=float, default=1e-4)
+    p.add_argument("--depth-multiplier", type=float, default=1.0,
+                   help="match a reduced-width checkpoint (tests)")
+    p.add_argument("--min-depth", type=int, default=16)
+    p.set_defaults(fn=cmd_parity)
 
     p = sub.add_parser("build-vocab")
     p.add_argument("--csv", required=True)

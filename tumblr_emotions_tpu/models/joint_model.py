@@ -32,6 +32,8 @@ class DeepSentimentModel(nn.Module):
     fusion_hidden: int = 0         # optional dense layer on the fused vector
     dropout_keep_prob: float = 0.8
     create_aux_logits: bool = True
+    depth_multiplier: float = 1.0
+    min_depth: int = 16
     dtype: Dtype = jnp.float32
 
     def setup(self):
@@ -39,6 +41,8 @@ class DeepSentimentModel(nn.Module):
         # the slim checkpoint prefix, shared with the image-only model.
         self.inception = InceptionV3(
             num_classes=self.num_classes,
+            depth_multiplier=self.depth_multiplier,
+            min_depth=self.min_depth,
             dropout_keep_prob=self.dropout_keep_prob,
             create_aux_logits=self.create_aux_logits,
             dtype=self.dtype, name="InceptionV3")

@@ -93,7 +93,9 @@ def build_model(cfg: Config):
             num_classes=cfg.image.num_classes, aggregator=cfg.text.aggregator,
             rnn_hidden=cfg.text.rnn_hidden,
             dropout_keep_prob=cfg.image.dropout_keep_prob,
-            create_aux_logits=cfg.image.create_aux_logits, dtype=dtype)
+            create_aux_logits=cfg.image.create_aux_logits,
+            depth_multiplier=cfg.image.depth_multiplier,
+            min_depth=cfg.image.min_depth, dtype=dtype)
 
         def forward(variables, batch, train, rngs=None, mutable=False):
             return model.apply(variables, batch["image"], batch["tokens"],
@@ -394,6 +396,58 @@ class Trainer:
         summary = metrics_lib.summarize(total, class_names)
         summary["loss"] = loss_sum / max(count, 1)
         return summary
+
+    def evaluate_continuously(self, state: TrainState,
+                              batches_fn: Callable[[], Iterable],
+                              class_names=None,
+                              interval_secs: float = 30.0,
+                              max_step: Optional[int] = None,
+                              timeout_secs: Optional[float] = None,
+                              _sleep=time.sleep):
+        """slim ``evaluation_loop`` semantics (SURVEY.md §2a #11, §3.3):
+        poll the checkpoint dir, evaluate every NEW checkpoint as it
+        appears, write eval summaries, and stop once the evaluated step
+        reaches ``max_step`` (default: cfg.train.num_steps) or no new
+        checkpoint arrives within ``timeout_secs``.
+
+        ``batches_fn`` is called once per evaluation to produce a fresh
+        pass over the eval split.  Yields ``(step, summary)`` per
+        evaluation so callers can stream results.
+        """
+        mgr = self.checkpoint_manager()
+        stop_step = max_step if max_step is not None else self.cfg.train.num_steps
+        writer = SummaryWriter(self.cfg.train.log_dir)
+        last_evaluated = -1
+        waited = 0.0
+        while True:
+            step = mgr.latest_step()
+            if step is None or step <= last_evaluated:
+                if timeout_secs is not None and waited >= timeout_secs:
+                    log.info("eval loop: no new checkpoint after %.0fs, "
+                             "stopping", waited)
+                    return
+                _sleep(interval_secs)
+                waited += interval_secs
+                continue
+            waited = 0.0
+            restored = self.restore_latest(state)
+            if restored is None:  # checkpoint vanished between poll and read
+                continue
+            summary = self.evaluate(restored, batches_fn(),
+                                    class_names=class_names)
+            last_evaluated = int(restored.step)
+            log.info("eval @ step %d: accuracy %.4f loss %.4f",
+                     last_evaluated, summary.get("accuracy", 0.0),
+                     summary.get("loss", 0.0))
+            writer.write_scalars(last_evaluated, {
+                "eval/accuracy": float(summary.get("accuracy", 0.0)),
+                "eval/loss": float(summary.get("loss", 0.0)),
+            })
+            writer.flush()
+            yield last_evaluated, summary
+            if last_evaluated >= stop_step:
+                log.info("eval loop: reached final step %d", last_evaluated)
+                return
 
     # -- checkpointing (Orbax; SURVEY.md §5 checkpoint/resume) --------------
 
