@@ -5,10 +5,18 @@ decode->preprocess->Inception-forward images/sec/chip on TPU v5e.  This
 harness measures the on-device pipeline at steady state: host batches of
 decoded uint8 images are device_put asynchronously (double buffering) while
 the chip runs the fused [crop -> TF1-bilinear resize -> normalize ->
-Inception-v3 bf16 forward] program.
+Inception-v3 forward] program.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is value / 10_000 (the north-star target).
+Engine: the int8 post-training-quantized serving engine (ops/quant.py,
+shift epilogues) — the fastest validated path (round-2 ablations, see
+docs/PERFORMANCE.md).  `python bench.py B STEPS bf16` benches the
+BN-folded bf16 XLA engine instead (round-1 default), and
+`python bench.py B STEPS int8 --with-decode` prepends the C++ libjpeg
+batch decode + host->device transfer to the measured region (VERDICT.md
+round-1 item #7) and prints a second JSON line for it.
+
+Prints ONE JSON line (two with --with-decode):
+{"metric", "value", "unit", "vs_baseline"}.  vs_baseline is value/10_000.
 """
 
 import json
@@ -16,6 +24,25 @@ import sys
 import time
 
 import numpy as np
+
+
+def _measure(fused, dev_batches, batch, steps):
+    import jax
+    import jax.numpy as jnp
+
+    # .sum() keeps the readback to one scalar: through the remote-TPU
+    # tunnel of this environment, block_until_ready() is NOT synchronous —
+    # only a host readback proves execution finished, so the timed region
+    # ends with a scalar fetch depending on every step's output.
+    float(fused(dev_batches[0]))  # warmup / compile
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fused(dev_batches[i % len(dev_batches)])
+                for i in range(steps)]
+        float(jnp.stack(outs).sum())
+        rates.append(batch * steps / (time.perf_counter() - t0))
+    return sorted(rates)[1]  # median of 3: remote-link jitter
 
 
 def main() -> int:
@@ -28,61 +55,107 @@ def main() -> int:
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    which = sys.argv[3] if len(sys.argv) > 3 else "int8"
+    with_decode = "--with-decode" in sys.argv
     src = 347  # decoded JPEG size; 299/0.875 ≈ 342 so the 0.875 crop is real
-
-    from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
 
     cfg = get_preset("fused_inference")  # bf16 perf mode
     model, _ = build_model(cfg)
     variables = model.init({"params": jax.random.PRNGKey(0)},
                            jnp.zeros((1, 299, 299, 3), jnp.bfloat16),
                            train=False)
-    # BN-folded inference engine (ops/inference.py): measured fastest on
-    # v5e as folded XLA convs (the Pallas fused-block path is available via
-    # use_pallas=True but benches ~30% slower on this chip — see
-    # docs/PERFORMANCE.md for the ablation table).
-    engine = FusedInceptionV3(variables, dtype=jnp.bfloat16, use_pallas=False)
-
-    # .sum() keeps the readback to one scalar: through the remote-TPU tunnel
-    # of this environment, block_until_ready() is NOT synchronous — only a
-    # host readback proves execution finished, so the timed region ends with
-    # a scalar fetch that depends on every step's output.
-    @jax.jit
-    def fused(variables, raw_u8):
-        x = preprocess_for_eval(raw_u8, dtype=jnp.bfloat16)
-        logits, _ = engine(x)
-        return logits.astype(jnp.float32).sum()
 
     rng = np.random.RandomState(0)
     # 4 distinct device-resident uint8 batches, cycled: measures the steady
-    # -state on-chip decode-output -> preprocess -> forward pipeline.  (Host
-    # JPEG decode is benchmarked separately on CPU; the tunnel's host->device
-    # link here is an artifact of the sandbox, not v5e PCIe.)  Placement is
-    # deliberately UNCOMMITTED: committed arrays hit a ~200x slow path in
-    # this environment's remote-TPU runtime (docs/PERFORMANCE.md).
+    # -state on-chip decode-output -> preprocess -> forward pipeline.  (The
+    # tunnel's host->device link here is a sandbox artifact, not v5e PCIe.)
+    # Placement is deliberately UNCOMMITTED: committed arrays hit a ~200x
+    # slow path in this environment's remote-TPU runtime (docs/PERFORMANCE.md).
     host = [rng.randint(0, 256, size=(batch, src, src, 3), dtype=np.uint8)
             for _ in range(4)]
     dev_batches = [jax.device_put(h) for h in host]
 
-    # Warmup / compile (forces completion via float()).
-    float(fused(variables, dev_batches[0]))
+    if which == "int8":
+        from tumblr_emotions_tpu.ops.quant import QuantizedInceptionV3
 
-    # Median of 3 measurement windows: the remote-TPU link adds run-level
-    # jitter (~±10%) that a single window inherits.
-    rates = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [fused(variables, dev_batches[i % 4]) for i in range(steps)]
-        float(jnp.stack(outs).sum())  # single readback: everything finished
-        rates.append(batch * steps / (time.perf_counter() - t0))
+        calib = preprocess_for_eval(dev_batches[0][:64], dtype=jnp.float32)
+        engine = QuantizedInceptionV3(variables, calib, epilogue="shift")
+    else:
+        # Round-1 engine: BN-folded XLA convs, packed 1x1 branches, bf16.
+        from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
 
-    ips = sorted(rates)[1]
+        engine = FusedInceptionV3(variables, dtype=jnp.bfloat16,
+                                  use_pallas=(which == "pallas"))
+
+    @jax.jit
+    def fused(raw_u8):
+        x = preprocess_for_eval(raw_u8, dtype=jnp.bfloat16)
+        logits, _ = engine(x)
+        return logits.astype(jnp.float32).sum()
+
+    ips = _measure(fused, dev_batches, batch, steps)
     print(json.dumps({
         "metric": "fused_preprocess_forward_throughput",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 10_000.0, 4),
     }))
+
+    if with_decode:
+        # Decode-inclusive composition: JPEG bytes -> C++ batch decode ->
+        # async device_put (double buffer) -> fused forward.  On this
+        # 1-core sandbox the decode leg is CPU-bound (~350 img/s/core,
+        # docs/PERFORMANCE.md); the line reports the measured overlap so
+        # the multi-core budget is arithmetic on a measured number, not a
+        # guess.
+        import io
+        import threading
+        from queue import Queue
+
+        from PIL import Image
+
+        from tumblr_emotions_tpu.data import jpeg
+
+        enc = []
+        for i in range(batch):
+            buf = io.BytesIO()
+            Image.fromarray(host[0][i]).save(buf, format="JPEG", quality=90)
+            enc.append(buf.getvalue())
+
+        decode_steps = max(2, min(4, steps // 4))
+        t0 = time.perf_counter()
+        for _ in range(decode_steps):
+            arrs = jpeg.decode_batch(enc)
+        decode_ips = batch * decode_steps / (time.perf_counter() - t0)
+
+        q: Queue = Queue(maxsize=2)
+        END = object()
+
+        def producer(n):
+            for _ in range(n):
+                arrs = jpeg.decode_batch(enc)
+                q.put(jax.device_put(np.stack(arrs)))
+            q.put(END)
+
+        t0 = time.perf_counter()
+        th = threading.Thread(target=producer, args=(decode_steps,),
+                              daemon=True)
+        th.start()
+        outs = []
+        while True:
+            item = q.get()
+            if item is END:
+                break
+            outs.append(fused(item))
+        float(jnp.stack(outs).sum())
+        comp_ips = batch * decode_steps / (time.perf_counter() - t0)
+        print(json.dumps({
+            "metric": "decode_preprocess_forward_throughput",
+            "value": round(comp_ips, 1),
+            "unit": "images/sec (1-core host decode overlapped)",
+            "vs_baseline": round(comp_ips / 10_000.0, 4),
+            "decode_only_images_per_sec_per_core": round(decode_ips, 1),
+        }))
     return 0
 
 

@@ -91,5 +91,6 @@ def test_activations_stay_int8(live_model):
     for stop in ("stem", "Mixed_5d", "Mixed_6a", "Mixed_6e", "Mixed_7a"):
         q, _ = jax.eval_shape(
             lambda im, stop=stop: quant._tower(
-                quant._Int8Ops(eng.wq, eng.scales), im, stop_at=stop), x)
+                quant._Int8Ops(eng.folded, eng.scales,
+                               epilogue=eng.epilogue), im, stop_at=stop), x)
         assert q.dtype == jnp.int8, f"{stop} is {q.dtype}"

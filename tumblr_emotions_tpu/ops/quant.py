@@ -115,7 +115,8 @@ class _CalibOps:
             self._record(key, y)
         return y.astype(self.dtype)
 
-    def packed(self, t, scopes: Sequence[str]):
+    def packed(self, t, scopes: Sequence[str],
+               out_keys: Optional[Sequence[Optional[str]]] = None):
         ws = [self.folded[s][0] for s in scopes]
         w = np.concatenate(ws, axis=-1)
         b = np.concatenate([self.folded[s][1] for s in scopes])
@@ -157,12 +158,28 @@ class _CalibOps:
 
 
 class _Int8Ops:
-    """int8 interpretation: tensors flow as (q int8, scale float)."""
+    """int8 interpretation: tensors flow as (q int8, scale float).
 
-    def __init__(self, wq, scales: Dict[str, float], dtype=jnp.bfloat16):
-        self.wq = wq
+    Weight quantization happens lazily at trace time because the requant
+    epilogue depends on the calibrated (s_x, s_out) pair of each conv site:
+
+    - ``epilogue="f32"``: per-channel ideal weight scales; requant is
+      ``clip(y_i32 * m + b', 0, 127)`` in f32 (m = s_x*s_w/s_out; +0.5
+      rides the bias so the final truncating convert rounds).
+    - ``epilogue="shift"``: weight scales are constrained per channel to
+      make m an exact power of two (s_w' in [s_w, 2*s_w) — costs <= 1 bit
+      of weight precision), so the requant is fully integer:
+      ``clamp((y + b_i) >> k_c, 0, 127)`` — measured ~0.5 ms cheaper per
+      large-tensor conv than the f32 form.  Channels where the constraint
+      would need a left shift (m > 1) fall back to f32 per conv.
+    """
+
+    def __init__(self, folded, scales: Dict[str, float], dtype=jnp.bfloat16,
+                 epilogue: str = "f32"):
+        self.folded = folded
         self.scales = scales
         self.dtype = dtype  # dtype of dequantized (non-int8) outputs
+        self.epilogue = epilogue
 
     def _quantize(self, y_f32, out_key):
         # Signed values: keep an explicit round (cheap only on the stem
@@ -172,63 +189,128 @@ class _Int8Ops:
         return q.astype(jnp.int8), s
 
     def stem_in(self, x):
+        if isinstance(x, tuple):  # already quantized (int8 preprocess path)
+            return x
         return self._quantize(x.astype(jnp.float32), "input")
+
+    def _weights(self, scope, s_x, out_key):
+        """(w_q int8, epilogue constants) for one conv site (numpy, traced
+        as constants)."""
+        w, b = self.folded[scope]
+        w = np.asarray(w, np.float32)
+        s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+        s_w = np.where(s_w == 0.0, 1.0, s_w).astype(np.float32)
+        if out_key is None:
+            w_q = np.clip(np.round(w / s_w), _INT8_MIN, _INT8_MAX
+                          ).astype(np.int8)
+            return w_q, ("dequant", s_x * s_w, np.asarray(b, np.float32))
+        s_out = self.scales[out_key]
+        m = s_x * s_w / s_out
+        if self.epilogue == "shift" and np.all(m <= 1.0):
+            k = np.floor(-np.log2(m)).astype(np.int32)   # 2^-k >= m
+            s_w2 = np.exp2(-k.astype(np.float64)) * s_out / s_x
+            w_q = np.clip(np.round(w / s_w2), _INT8_MIN, _INT8_MAX
+                          ).astype(np.int8)
+            b_i = np.round((np.asarray(b, np.float64) / s_out + 0.5)
+                           * np.exp2(k.astype(np.float64))).astype(np.int32)
+            return w_q, ("shift", b_i, k)
+        w_q = np.clip(np.round(w / s_w), _INT8_MIN, _INT8_MAX).astype(np.int8)
+        return w_q, ("f32", (s_x * s_w / s_out).astype(np.float32),
+                     (np.asarray(b, np.float32) / s_out + 0.5)
+                     .astype(np.float32))
+
+    def _apply_epilogue(self, y_i32, const, s_out):
+        kind = const[0]
+        if kind == "shift":
+            _, b_i, k = const
+            yq = jnp.clip((y_i32 + jnp.asarray(b_i)) >> jnp.asarray(k),
+                          0, 127)
+            return yq.astype(jnp.int8), s_out
+        if kind == "f32":
+            _, m, bq = const
+            yq = jnp.clip(y_i32.astype(jnp.float32) * jnp.asarray(m)
+                          + jnp.asarray(bq), 0.0, _INT8_MAX)
+            return yq.astype(jnp.int8), s_out
+        _, m, b = const  # dequant
+        yf = jnp.maximum(y_i32.astype(jnp.float32) * jnp.asarray(m)
+                         + jnp.asarray(b), 0.0)
+        return yf.astype(self.dtype)
 
     def conv(self, t, scope, out_key=_SELF, strides=(1, 1), padding="VALID"):
         q, s_x = t
-        w_q, s_w, b = self.wq[scope]
-        y = _conv_raw(q, jnp.asarray(w_q), strides, padding, jnp.int32)
         out_key = scope if out_key is _SELF else out_key
-        if out_key is not None:
-            s_out = self.scales[out_key]
-            m = jnp.asarray(s_x * s_w / s_out, jnp.float32)
-            # +0.5 folded into the bias: output is clamped to [0, 127] and
-            # the f32->s8 convert truncates toward zero, so trunc(y + 0.5)
-            # is round-half-up — no explicit (expensive) round op.  The
-            # lower clamp at 0 IS the relu.
-            bq = jnp.asarray(b / s_out + 0.5, jnp.float32)
-            yq = jnp.clip(y.astype(jnp.float32) * m + bq, 0.0, _INT8_MAX)
-            return yq.astype(jnp.int8), s_out
-        # No calibrated consumer: dequantize (final block / head path).
-        m = jnp.asarray(s_x * s_w, jnp.float32)
-        yf = jnp.maximum(y.astype(jnp.float32) * m + jnp.asarray(b), 0.0)
-        return yf.astype(self.dtype)
+        w_q, const = self._weights(scope, s_x, out_key)
+        y = _conv_raw(q, jnp.asarray(w_q), strides, padding, jnp.int32)
+        s_out = self.scales[out_key] if out_key is not None else None
+        return self._apply_epilogue(y, const, s_out)
 
-    def packed(self, t, scopes: Sequence[str]):
+    def packed(self, t, scopes: Sequence[str],
+               out_keys: Optional[Sequence[Optional[str]]] = None):
+        """One wide 1x1 conv for the parallel branch openers.
+
+        ``out_keys[i]`` is slice i's requant target ("pool" = leave as a
+        pre-activation for pool_act; None = dequantize).  Per-slice weight
+        quantization means shift-mode constraints apply per branch.
+        """
         q, s_x = t
-        parts = [self.wq[s] for s in scopes]
-        w = np.concatenate([p[0] for p in parts], axis=-1)
-        y = _conv_raw(q, jnp.asarray(w), (1, 1), "SAME", jnp.int32)
+        if out_keys is None:
+            out_keys = ["pool"] * len(scopes)
+        w_parts, consts = [], []
+        for scope, key in zip(scopes, out_keys):
+            if key == "pool":
+                w, b = self.folded[scope]
+                w = np.asarray(w, np.float32)
+                s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+                s_w = np.where(s_w == 0.0, 1.0, s_w).astype(np.float32)
+                w_q = np.clip(np.round(w / s_w), _INT8_MIN, _INT8_MAX
+                              ).astype(np.int8)
+                consts.append(("pre", (s_x * s_w).astype(np.float32),
+                               np.asarray(b, np.float32)))
+            else:
+                w_q, const = self._weights(scope, s_x, key)
+                consts.append(const)
+            w_parts.append(w_q)
+        y = _conv_raw(q, jnp.asarray(np.concatenate(w_parts, axis=-1)),
+                      (1, 1), "SAME", jnp.int32)
         outs, off = [], 0
-        for w_q, s_w, b in parts:
+        for w_q, const, key in zip(w_parts, consts, out_keys):
             n = w_q.shape[-1]
-            outs.append((y[..., off:off + n],
-                         jnp.asarray(s_x * s_w, jnp.float32),
-                         jnp.asarray(b, jnp.float32)))
+            ys = y[..., off:off + n]
             off += n
+            if const[0] == "pre":
+                outs.append(("pre", ys, const[1], const[2]))
+            else:
+                s_out = self.scales[key] if key is not None else None
+                outs.append(self._apply_epilogue(ys, const, s_out))
         return outs
 
-    def _epilogue(self, pre, out_key, pool):
-        y, m, b = pre
+    def act(self, pre, out_key):
+        if not (isinstance(pre, tuple) and len(pre) == 4 and pre[0] == "pre"):
+            return pre  # packed() already applied the epilogue
+        _, y, m, b = pre
         if out_key is not None:
             s_out = self.scales[out_key]
-            # Same trunc-as-round trick as conv(): +0.5 rides the bias.
-            yf = y.astype(jnp.float32) * (m / s_out) + (b / s_out + 0.5)
-            if pool:
-                # Pool the pre-activation (the +0.5 is window-invariant).
-                yf = _avgpool_3x3_same(yf)
+            yf = y.astype(jnp.float32) * jnp.asarray(m / s_out) \
+                + jnp.asarray(b / s_out + 0.5)
             yq = jnp.clip(yf, 0.0, _INT8_MAX)
             return yq.astype(jnp.int8), s_out
-        yf = y.astype(jnp.float32) * m + b
-        if pool:
-            yf = _avgpool_3x3_same(yf)
+        yf = y.astype(jnp.float32) * jnp.asarray(m) + jnp.asarray(b)
         return jnp.maximum(yf, 0.0).astype(self.dtype)
 
-    def act(self, pre, out_key):
-        return self._epilogue(pre, out_key, pool=False)
-
     def pool_act(self, pre, out_key):
-        return self._epilogue(pre, out_key, pool=True)
+        _, y, m, b = pre
+        if out_key is not None:
+            s_out = self.scales[out_key]
+            # Pool the pre-activation: 1x1 conv + bias commutes with the
+            # count_include_pad=False average; +0.5 is window-invariant.
+            yf = y.astype(jnp.float32) * jnp.asarray(m / s_out) \
+                + jnp.asarray(b / s_out + 0.5)
+            yf = _avgpool_3x3_same(yf)
+            yq = jnp.clip(yf, 0.0, _INT8_MAX)
+            return yq.astype(jnp.int8), s_out
+        yf = y.astype(jnp.float32) * jnp.asarray(m) + jnp.asarray(b)
+        yf = _avgpool_3x3_same(yf)
+        return jnp.maximum(yf, 0.0).astype(self.dtype)
 
     def maxpool(self, t, out_key=None, window=(3, 3), strides=(2, 2)):
         q, s = t
@@ -281,7 +363,8 @@ def _tower(ops, x, stop_at: Optional[str] = None):
             f"{scope}/Branch_0/Conv2d_0a_1x1",
             f"{scope}/Branch_1/{b1n[0]}",
             f"{scope}/Branch_2/Conv2d_0a_1x1",
-            f"{scope}/Branch_3/Conv2d_0b_1x1"])
+            f"{scope}/Branch_3/Conv2d_0b_1x1"],
+            out_keys=[out, f"{scope}/b1", f"{scope}/b2", "pool"])
         b0 = ops.act(p0, out)
         b1 = ops.conv(ops.act(p1, f"{scope}/b1"),
                       f"{scope}/Branch_1/{b1n[1]}", out_key=out,
@@ -318,7 +401,8 @@ def _tower(ops, x, stop_at: Optional[str] = None):
             f"{scope}/Branch_0/Conv2d_0a_1x1",
             f"{scope}/Branch_1/Conv2d_0a_1x1",
             f"{scope}/Branch_2/Conv2d_0a_1x1",
-            f"{scope}/Branch_3/Conv2d_0b_1x1"])
+            f"{scope}/Branch_3/Conv2d_0b_1x1"],
+            out_keys=[out, f"{scope}/b1", f"{scope}/b2", "pool"])
         b0 = ops.act(p0, out)
         b1 = ops.act(p1, f"{scope}/b1")
         b1 = ops.conv(b1, f"{scope}/Branch_1/Conv2d_0b_1x7", padding="SAME")
@@ -341,7 +425,8 @@ def _tower(ops, x, stop_at: Optional[str] = None):
     # Mixed_7a reduction
     out = "Mixed_7a/out"
     p0, p1 = ops.packed(t, ["Mixed_7a/Branch_0/Conv2d_0a_1x1",
-                            "Mixed_7a/Branch_1/Conv2d_0a_1x1"])
+                            "Mixed_7a/Branch_1/Conv2d_0a_1x1"],
+                        out_keys=["Mixed_7a/b0", "Mixed_7a/b1"])
     b0 = ops.conv(ops.act(p0, "Mixed_7a/b0"),
                   "Mixed_7a/Branch_0/Conv2d_1a_3x3", out_key=out,
                   strides=(2, 2))
@@ -362,7 +447,8 @@ def _tower(ops, x, stop_at: Optional[str] = None):
             f"{scope}/Branch_0/Conv2d_0a_1x1",
             f"{scope}/Branch_1/Conv2d_0a_1x1",
             f"{scope}/Branch_2/Conv2d_0a_1x1",
-            f"{scope}/Branch_3/Conv2d_0b_1x1"])
+            f"{scope}/Branch_3/Conv2d_0b_1x1"],
+            out_keys=[out, f"{scope}/b1", f"{scope}/b2", "pool"])
         b0 = ops.act(p0, out)
         b1 = ops.act(p1, f"{scope}/b1")
         b1 = ops.concat([
@@ -385,6 +471,76 @@ def _tower(ops, x, stop_at: Optional[str] = None):
     return ops.finish(t)
 
 
+def _quantized_interp_matrix(out_size: int, in_size: int) -> np.ndarray:
+    """TF1 bilinear interpolation matrix quantized to int8 with EXACT row
+    sums of 127, so the resize is an s8 x s8 -> s32 MXU matmul whose output
+    divides by exactly 127 per stage (no per-row scale vector)."""
+    from tumblr_emotions_tpu.data.preprocessing import _interp_matrix_cached
+
+    m = _interp_matrix_cached(out_size, in_size, "tf1")
+    q = np.round(m * 127.0)
+    # Each row has <= 2 taps summing to 1.0; force the quantized sum to 127
+    # by adjusting the largest tap (error <= half a step).
+    for o in range(q.shape[0]):
+        idx = np.nonzero(q[o])[0]
+        if idx.size == 0:  # degenerate (frac rounded to zero on both taps)
+            q[o, np.argmax(m[o])] = 127.0
+            idx = np.nonzero(q[o])[0]
+        q[o, idx[np.argmax(q[o, idx])]] += 127.0 - q[o].sum()
+    assert (q.sum(axis=1) == 127.0).all()
+    return q.astype(np.int8)
+
+
+def preprocess_for_eval_int8(images_u8: jax.Array, input_scale: float,
+                             height: int = 299, width: int = 299,
+                             central_fraction: float = 0.875
+                             ) -> jax.Array:
+    """int8-domain slim eval preprocessing for the quantized engine.
+
+    uint8 [N,H,W,C] -> central crop 0.875 -> TF1 bilinear resize as two
+    s8 GEMMs -> requantize into the engine's calibrated input scale.  The
+    whole pipeline moves 1-byte tensors; the float epilogue folds the
+    [0,255] -> [-1,1] normalization AND the input quantization into one
+    affine over the final i32 resize output:
+
+        real = (2*pixel/255 - 1), pixel = centered/1 + 128,
+        centered_resized = i32 / 127^2
+        q_in = round(real / input_scale)
+
+    Resize-matrix quantization adds <= ~1 uint8 level of error — below the
+    engine's own input quantization step.  Serving-path only; the f32
+    parity path keeps data/preprocessing.py.
+    """
+    from tumblr_emotions_tpu.data.preprocessing import central_crop_sizes
+
+    n, h, w, c = images_u8.shape
+    assert images_u8.dtype == jnp.uint8
+    if central_fraction and central_fraction < 1.0:
+        oh, ow, ch, cw = central_crop_sizes(h, w, central_fraction)
+        images_u8 = jax.lax.slice(images_u8, (0, oh, ow, 0),
+                                  (n, oh + ch, ow + cw, c))
+    else:
+        ch, cw = h, w
+    # Center into int8: u8 - 128 fits [-128, 127].
+    x = (images_u8.astype(jnp.int16) - 128).astype(jnp.int8)
+    rh = jnp.asarray(_quantized_interp_matrix(height, ch))
+    rw = jnp.asarray(_quantized_interp_matrix(width, cw))
+    y = jnp.einsum("oh,nhwc->nowc", rh, x,
+                   preferred_element_type=jnp.int32)
+    # Requantize the row-resized intermediate back to int8 (value/127;
+    # range [-128, 127] -> clip; signed, so round via sign-aware offset).
+    y = jnp.clip(jnp.round(y.astype(jnp.float32) * (1.0 / 127.0)),
+                 _INT8_MIN, _INT8_MAX).astype(jnp.int8)
+    z = jnp.einsum("pw,nowc->nopc", rw, y,
+                   preferred_element_type=jnp.int32)
+    # z/127 = centered pixel value in [-128, 127]; real = (2*(z/127+128)/255)-1.
+    a = 2.0 / (127.0 * 255.0 * input_scale)
+    b = (2.0 * 128.0 / 255.0 - 1.0) / input_scale
+    q = jnp.clip(jnp.round(z.astype(jnp.float32) * a + b),
+                 _INT8_MIN, _INT8_MAX).astype(jnp.int8)
+    return q
+
+
 class QuantizedInceptionV3:
     """int8-serving Inception-v3 over BN-folded, per-channel-quantized weights.
 
@@ -398,12 +554,13 @@ class QuantizedInceptionV3:
     """
 
     def __init__(self, variables: Dict, calibration_images: jax.Array,
-                 dtype=jnp.bfloat16):
+                 dtype=jnp.bfloat16, epilogue: str = "shift"):
         params = jax.device_get(variables["params"])
         stats = jax.device_get(variables.get("batch_stats", {}))
         self.folded = fold_batchnorm(params, stats)
-        self.wq = quantize_weights(self.folded)
+        self.wq = quantize_weights(self.folded)  # kept for introspection
         self.dtype = dtype
+        self.epilogue = epilogue
 
         calib = _CalibOps(self.folded, dtype=dtype)
 
@@ -415,9 +572,22 @@ class QuantizedInceptionV3:
         self.scales = {k: max(float(v), 1e-6) / 127.0
                        for k, v in maxima.items()}
 
-    def __call__(self, x: jax.Array) -> Tuple[Optional[jax.Array], jax.Array]:
-        """Preprocessed [B, 299, 299, 3] -> (logits or None, feature [B, 2048])."""
-        ops = _Int8Ops(self.wq, self.scales, dtype=self.dtype)
+    def forward_from_uint8(self, raw_u8: jax.Array
+                           ) -> Tuple[Optional[jax.Array], jax.Array]:
+        """Decoded uint8 [B,H,W,3] -> int8 eval preprocess -> tower.
+
+        The fastest serving path: central crop, int8-GEMM TF1 resize, and
+        normalization+input-quantization fused into one epilogue, so no
+        float image tensor ever touches HBM.
+        """
+        q = preprocess_for_eval_int8(raw_u8, self.scales["input"])
+        return self((q, self.scales["input"]))
+
+    def __call__(self, x) -> Tuple[Optional[jax.Array], jax.Array]:
+        """Preprocessed [B, 299, 299, 3] (float) — or an already-quantized
+        ``(int8, scale)`` pair — -> (logits or None, feature [B, 2048])."""
+        ops = _Int8Ops(self.folded, self.scales, dtype=self.dtype,
+                       epilogue=self.epilogue)
         net = _tower(ops, x)
         # Global average pool over min(8, spatial), like FusedInceptionV3.
         kh = min(8, net.shape[1])
