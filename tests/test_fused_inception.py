@@ -14,6 +14,8 @@ from tumblr_emotions_tpu.models import InceptionV3
 from tumblr_emotions_tpu.ops import (fold_batchnorm, fused_inception_a,
                                      fused_inception_b)
 
+pytestmark = pytest.mark.heavy  # multi-minute full-tower CPU compiles
+
 
 @pytest.fixture(scope="module")
 def model_and_endpoints():

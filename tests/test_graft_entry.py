@@ -5,6 +5,10 @@ the driver; 2 devices keeps this suite-friendly on the 1-core sandbox)."""
 import sys
 import os
 
+import pytest
+
+pytestmark = pytest.mark.heavy  # multi-minute full-tower CPU compiles
+
 
 def test_dryrun_multichip_two_devices():
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

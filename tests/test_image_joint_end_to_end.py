@@ -16,6 +16,8 @@ from tumblr_emotions_tpu.data import pipeline, records, vocab
 from tumblr_emotions_tpu.train import Trainer
 from tumblr_emotions_tpu.train.predict import Predictor
 
+pytestmark = pytest.mark.heavy  # multi-minute full-tower CPU compiles
+
 
 def _jpeg(seed, hw=(100, 120)):
     from PIL import Image

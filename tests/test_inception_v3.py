@@ -9,6 +9,8 @@ from flax import traverse_util
 
 from tumblr_emotions_tpu.models import InceptionV3
 
+pytestmark = pytest.mark.heavy  # full-tower CPU compiles (several minutes)
+
 
 def _init(model, shape=(2, 299, 299, 3), train=False):
     x = jnp.ones(shape, jnp.float32)

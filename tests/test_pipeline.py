@@ -170,3 +170,20 @@ def test_distributed_helpers_single_host():
 
     assert distributed.maybe_initialize() is False  # single host: no-op
     assert distributed.host_shard_options() == (0, 1)
+
+
+def test_grain_multiprocess_workers(dataset_dir, v):
+    """worker_count>0 engages grain's subprocess prefetch (the decode-scaling
+    mechanism of the 10k img/s budget — VERDICT.md round-1 item #8) and
+    yields exactly the in-process batches."""
+    base = dict(batch_size=8, host_size=48, max_len=10, shuffle=False,
+                num_epochs=1, drop_remainder=False)
+    pat = os.path.join(dataset_dir, "train-*.tfrecord")
+    got0 = list(pipeline.batches(pat, v, pipeline.PipelineConfig(**base)))
+    got2 = list(pipeline.batches(
+        pat, v, pipeline.PipelineConfig(worker_count=2, **base)))
+    assert len(got0) == len(got2) > 0
+    for a, b in zip(got0, got2):
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["tokens"], b["tokens"])
+        np.testing.assert_array_equal(a["label"], b["label"])

@@ -19,6 +19,8 @@ from flax import traverse_util
 
 from tumblr_emotions_tpu.models import InceptionV3
 
+pytestmark = pytest.mark.heavy  # multi-minute full-tower CPU compiles
+
 tf = pytest.importorskip("tensorflow")
 
 BN_EPS = 0.001

@@ -117,11 +117,12 @@ class PipelineConfig:
     drop_remainder: bool = True
     decode_threads: int = 8
     dct_method: str = "islow"
-    # grain subprocess workers (0 = in-process). NOTE: >0 requires an
-    # environment where forked python workers can start cleanly; this
-    # sandbox's sitecustomize imports jax (and dials the single-client TPU
-    # tunnel) in every process, which kills grain workers — use the C++
-    # decoder's own thread pool (decode_threads) for parallelism here.
+    # grain subprocess workers (0 = in-process).  Verified working in this
+    # sandbox under pytest (tests/test_pipeline.py::
+    # test_grain_multiprocess_workers: 2 workers, byte-identical batches);
+    # spawn requires a file-backed __main__ (a `python - <<stdin` driver
+    # cannot fork workers).  Combine with the C++ decoder's thread pool
+    # (decode_threads) to scale host decode toward the 10k img/s budget.
     worker_count: int = 0
     shard_index: int = 0           # this host's shard (multi-host DP)
     shard_count: int = 1
