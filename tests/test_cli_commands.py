@@ -1,0 +1,100 @@
+"""CLI-level regression tests for the round-2 commands: the parity gate
+round trip and batch inference with the serving engines."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tumblr_emotions_tpu import cli
+from tumblr_emotions_tpu.models import InceptionV3
+from tumblr_emotions_tpu.utils import checkpoint as ckpt_lib
+
+pytestmark = pytest.mark.heavy  # full-tower CPU compiles
+
+
+@pytest.fixture(scope="module")
+def small_ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("parity")
+    model = InceptionV3(num_classes=7, depth_multiplier=0.25, min_depth=8)
+    v = model.init({"params": jax.random.PRNGKey(0)},
+                   jnp.ones((1, 299, 299, 3)), train=False)
+    path = str(d / "small.ckpt")
+    ckpt_lib.save_as_slim_checkpoint(v, path)
+    rng = np.random.RandomState(0)
+    imgs = str(d / "imgs.npz")
+    np.savez(imgs, raw=rng.randint(0, 256, (2, 330, 340, 3), dtype=np.uint8))
+    return path, imgs, str(d)
+
+
+def test_parity_gate_round_trip(small_ckpt, capsys):
+    ckpt, imgs, d = small_ckpt
+    goldens = os.path.join(d, "goldens.npz")
+    rc = cli.main(["parity", "--warmstart", ckpt, "--images", imgs,
+                   "--save-goldens", goldens,
+                   "--depth-multiplier", "0.25", "--min-depth", "8"])
+    assert rc == 0
+    rc = cli.main(["parity", "--warmstart", ckpt, "--goldens", goldens,
+                   "--depth-multiplier", "0.25", "--min-depth", "8"])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["pass"] is True
+    assert report["max_abs_diff"] <= 1e-4
+    assert report["num_classes"] == 7
+
+
+def test_parity_gate_fails_on_wrong_goldens(small_ckpt, capsys):
+    ckpt, imgs, d = small_ckpt
+    goldens = os.path.join(d, "goldens.npz")
+    data = dict(np.load(goldens))
+    data["logits"] = data["logits"] + 0.01
+    bad = os.path.join(d, "bad.npz")
+    np.savez(bad, **data)
+    rc = cli.main(["parity", "--warmstart", ckpt, "--goldens", bad,
+                   "--depth-multiplier", "0.25", "--min-depth", "8"])
+    assert rc == 1
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["pass"] is False
+
+
+@pytest.fixture(scope="module")
+def tiny_records(tmp_path_factory):
+    import io
+
+    from PIL import Image
+
+    from tumblr_emotions_tpu.data import records
+
+    d = tmp_path_factory.mktemp("recs")
+    rng = np.random.RandomState(0)
+    exs = []
+    for i in range(10):
+        img = (np.cumsum(np.cumsum(rng.rand(96, 120, 3), 0), 1) * 7
+               % 255).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=90)
+        exs.append(records.post_to_example(buf.getvalue(), f"post {i}",
+                                           i % 15, post_id=str(i)))
+    records.write_sharded_tfrecords(exs, str(d), "train", 1)
+    return str(d)
+
+
+@pytest.mark.parametrize("engine", ["int8", "bf16"])
+def test_infer_engines(tiny_records, tmp_path, engine, capsys):
+    out = str(tmp_path / f"preds_{engine}.jsonl")
+    rc = cli.main(["infer", "--model", "image",
+                   "--records", os.path.join(tiny_records, "train-*.tfrecord"),
+                   "--depth-multiplier", "0.25", "--no-aux",
+                   "--batch-size", "4", "--engine", engine, "--out", out,
+                   "--checkpoint-dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 10
+    for l in lines:
+        assert abs(sum(l["probs"].values()) - 1.0) < 1e-2
+        assert l["top1"] in l["probs"]
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["examples"] == 10 and summary["engine"] == engine

@@ -101,6 +101,10 @@ def _build_config(args):
         im["create_aux_logits"] = False
     if im:
         cfg = cfg.replace(image=cfg.image.replace(**im))
+    if getattr(args, "labels", ""):
+        # A custom label file resizes every classifier head.
+        n = len(_load_emotions(args))
+        cfg = cfg.replace(image=cfg.image.replace(num_classes=n))
     return cfg
 
 
@@ -373,6 +377,91 @@ def cmd_analyze(args) -> int:
     return 0
 
 
+def cmd_infer(args) -> int:
+    """Batch inference over a records split with the fused serving engines
+    (BASELINE config 4): --engine int8 (quantized, fastest), bf16
+    (BN-folded XLA), or parity (f32 Flax model, the 1e-4 path).
+
+    Image-tower models only (the joint model's fusion head needs the text
+    branch — use `eval`/`predict` for joint).  Writes one JSON line per
+    example to --out with the emotion distribution, and prints a summary
+    with the measured images/sec.
+    """
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+
+    cfg = _build_config(args)
+    if cfg.model != "image":
+        raise SystemExit("infer serves the image tower; use eval/predict "
+                         "for text/joint models")
+    emotions = _load_emotions(args)
+    batches = list(_make_batches(args, cfg, None, train=False))
+    trainer, state, cfg = _init_trainer_state(args, cfg, None, batches[0])
+    restored = trainer.restore_latest(state)
+    if restored is not None:
+        state = restored
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.engine == "parity":
+        def forward(raw):
+            x = preprocess_for_eval(raw, dtype=jnp.float32)
+            _, ep = trainer.forward(variables, {"image": x}, train=False)
+            return ep["Predictions"]
+    else:
+        if args.engine == "int8":
+            from tumblr_emotions_tpu.ops.quant import QuantizedInceptionV3
+
+            calib = preprocess_for_eval(
+                jnp.asarray(batches[0]["image"][:64]), dtype=jnp.float32)
+            engine = QuantizedInceptionV3(variables, calib,
+                                          epilogue="shift")
+        else:
+            from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
+
+            engine = FusedInceptionV3(variables, dtype=jnp.bfloat16,
+                                      use_pallas=False)
+
+        def forward(raw):
+            x = preprocess_for_eval(raw, dtype=jnp.bfloat16)
+            logits, _ = engine(x)
+            return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+
+    jfwd = jax.jit(forward)
+    n, t_total = 0, 0.0
+    out_f = open(args.out, "w") if args.out else None
+    for b in batches:
+        raw = jnp.asarray(b["image"])
+        t0 = _time.perf_counter()
+        probs = np.asarray(jfwd(raw))
+        t_total += _time.perf_counter() - t0
+        valid = np.asarray(b.get("weight", np.ones(len(probs), np.int32))) == 1
+        for i in np.nonzero(valid)[0]:
+            n += 1
+            if out_f is not None:
+                out_f.write(json.dumps({
+                    "label": int(b["label"][i]),
+                    "top1": emotions[int(probs[i].argmax())],
+                    "probs": {e: round(float(p), 5)
+                              for e, p in zip(emotions, probs[i])},
+                }) + "\n")
+    if out_f is not None:
+        out_f.close()
+    summary = {"examples": n, "engine": args.engine,
+               "images_per_sec": round(n / max(t_total, 1e-9), 1)}
+    if args.validate and args.engine == "int8":
+        from tumblr_emotions_tpu.ops.quant import quantization_delta
+
+        imgs = preprocess_for_eval(jnp.asarray(batches[0]["image"]),
+                                   dtype=jnp.float32)
+        summary["quantization_delta"] = quantization_delta(variables, imgs)
+    print(json.dumps(summary))
+    return 0
+
+
 def cmd_parity(args) -> int:
     """One-shot parity gate (SURVEY.md §6 north star: logits within 1e-4 of
     the reference slim graph).
@@ -570,6 +659,15 @@ def main(argv=None) -> int:
     p.add_argument("--format", choices=["tfrecord", "arrayrecord"],
                    default="tfrecord")
     p.set_defaults(fn=cmd_convert_dataset)
+
+    p = sub.add_parser("infer")
+    _add_common(p)
+    p.add_argument("--engine", choices=["int8", "bf16", "parity"],
+                   default="int8")
+    p.add_argument("--out", default="", help="output JSONL path")
+    p.add_argument("--validate", action="store_true",
+                   help="also report int8-vs-bf16 quantization deltas")
+    p.set_defaults(fn=cmd_infer)
 
     p = sub.add_parser("parity")
     p.add_argument("--warmstart", required=True,

@@ -44,7 +44,9 @@ def convert(csv_path: str, images_dir: str, out_dir: str,
     texts: List[str] = []
     skipped = 0
     for p in posts:
-        img_path = p.image_path
+        # CSV "image" column, or the scraper's <id>.jpg convention when the
+        # column is absent.
+        img_path = p.image_path or (f"{p.post_id}.jpg" if p.post_id else "")
         if img_path and not os.path.isabs(img_path):
             img_path = os.path.join(images_dir, img_path)
         try:

@@ -157,7 +157,7 @@ def _make_source(pattern: str):
     return TFRecordIndex(pattern)
 
 
-def make_dataset(pattern: str, vocab: Vocabulary, cfg: PipelineConfig):
+def make_dataset(pattern: str, vocab: Optional[Vocabulary], cfg: PipelineConfig):
     """grain.MapDataset of model-ready example dicts (unbatched)."""
     import grain
 
@@ -176,19 +176,21 @@ def make_dataset(pattern: str, vocab: Vocabulary, cfg: PipelineConfig):
         post = records_lib.example_to_post(raw)
         img = jpeg_lib.decode(post["image"], dct_method=cfg.dct_method)
         img = _host_resize_uint8(img, cfg.host_size)
-        tokens, length = vocab.encode(post["text"], cfg.max_len)
-        return {
+        out = {
             "image": img,
-            "tokens": tokens,
-            "lengths": np.int32(length),
             "label": np.int32(post["label"]),
             "weight": np.int32(1),
         }
+        if vocab is not None:  # image-only consumers need no text branch
+            tokens, length = vocab.encode(post["text"], cfg.max_len)
+            out["tokens"] = tokens
+            out["lengths"] = np.int32(length)
+        return out
 
     return ds.map(parse)
 
 
-def batches(pattern: str, vocab: Vocabulary, cfg: PipelineConfig
+def batches(pattern: str, vocab: Optional[Vocabulary], cfg: PipelineConfig
             ) -> Iterator[Dict[str, np.ndarray]]:
     """Batched numpy iterator (grain batch + optional worker prefetch)."""
     import grain

@@ -70,6 +70,10 @@ def _conv_raw(x, w, strides, padding, out_dtype):
 
 
 def _maxpool(x, window=(3, 3), strides=(2, 2), padding="VALID"):
+    # (Measured: casting int8 -> bf16 for the pool wins ~0.6 ms in
+    # isolation but is a wash inside the full engine program — XLA already
+    # schedules the int8 reduce_window well in context.  Keep the direct
+    # form.)
     init = np.asarray(jnp.iinfo(x.dtype).min, x.dtype) \
         if jnp.issubdtype(x.dtype, jnp.integer) else np.asarray(-np.inf, x.dtype)
     return jax.lax.reduce_window(
