@@ -99,3 +99,25 @@ def test_fused_tower_xla_ablation_matches(model_and_endpoints):
     logits, _ = eng(x)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(want_logits),
                                atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_valid_conv_int8_matches_xla():
+    """ops/pallas_conv.py (the round-2 VALID/int8 plane-shift ablation —
+    measured slower than XLA on-chip, kept as a negative result) must stay
+    bit-exact vs the XLA int8 conv + shift epilogue."""
+    from tumblr_emotions_tpu.ops.pallas_conv import valid_conv3x3_int8_shift
+
+    rng = np.random.RandomState(0)
+    B, H, W, Ci, Co = 2, 19, 17, 16, 32
+    x = rng.randint(-127, 128, (B, H, W, Ci)).astype(np.int8)
+    w = rng.randint(-127, 128, (3, 3, Ci, Co)).astype(np.int8)
+    b = rng.randint(0, 5000, Co).astype(np.int32)
+    k = rng.randint(6, 12, Co).astype(np.int32)
+    y_ref = jax.lax.conv_general_dilated(
+        jnp.asarray(x), jnp.asarray(w), (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32)
+    y_ref = jnp.clip((y_ref + b[None, None, None, :])
+                     >> k[None, None, None, :], 0, 127).astype(jnp.int8)
+    y = valid_conv3x3_int8_shift(x, w, b, k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(y_ref))
