@@ -187,3 +187,44 @@ def test_grain_multiprocess_workers(dataset_dir, v):
         np.testing.assert_array_equal(a["image"], b["image"])
         np.testing.assert_array_equal(a["tokens"], b["tokens"])
         np.testing.assert_array_equal(a["label"], b["label"])
+
+
+def test_cluster_env_detection(monkeypatch):
+    """maybe_initialize's auto path keys off real cluster markers only:
+    single-host TPU_WORKER_HOSTNAMES must NOT trigger (calling
+    jax.distributed.initialize on one host would hang on a coordinator)."""
+    from tumblr_emotions_tpu.parallel import distributed
+
+    for var in distributed._CLUSTER_ENV_VARS:
+        monkeypatch.delenv(var, raising=False)
+    assert distributed.detect_cluster_env() is None
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0")
+    assert distributed.detect_cluster_env() is None  # one host: not a cluster
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1,host-2")
+    assert distributed.detect_cluster_env() == "TPU_WORKER_HOSTNAMES"
+
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    assert distributed.detect_cluster_env() == "JAX_COORDINATOR_ADDRESS"
+
+
+def test_maybe_initialize_auto_calls_jax_distributed(monkeypatch):
+    """With a cluster env detected, the no-arg path must actually call
+    jax.distributed.initialize (the round-1 stub never did)."""
+    import jax
+
+    from tumblr_emotions_tpu.parallel import distributed
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **kw: calls.append((a, kw)))
+    monkeypatch.setenv("MEGASCALE_COORDINATOR_ADDRESS", "10.0.0.1:8476")
+    distributed.maybe_initialize()
+    assert calls == [((), {})]
+
+    # Explicit coordinator args pass through.
+    calls.clear()
+    distributed.maybe_initialize("10.0.0.2:9000", 4, 1)
+    assert calls and calls[0][1]["coordinator_address"] == "10.0.0.2:9000"
