@@ -210,14 +210,19 @@ class _Int8Ops:
             return w_q, ("dequant", s_x * s_w, np.asarray(b, np.float32))
         s_out = self.scales[out_key]
         m = s_x * s_w / s_out
-        if self.epilogue == "shift" and np.all(m <= 1.0):
-            k = np.floor(-np.log2(m)).astype(np.int32)   # 2^-k >= m
+        k = np.floor(-np.log2(np.maximum(m, 1e-30))).astype(np.int32)
+        # Shift mode needs 0 <= k <= 24: k < 0 would be a left shift
+        # (m > 1), and large k risks overflowing the int32 bias term
+        # (b_i ~ (b/s_out + 0.5) * 2^k).  Out-of-range channels fall the
+        # whole conv back to the f32 epilogue.
+        if self.epilogue == "shift" and np.all((k >= 0) & (k <= 24)):
             s_w2 = np.exp2(-k.astype(np.float64)) * s_out / s_x
             w_q = np.clip(np.round(w / s_w2), _INT8_MIN, _INT8_MAX
                           ).astype(np.int8)
             b_i = np.round((np.asarray(b, np.float64) / s_out + 0.5)
-                           * np.exp2(k.astype(np.float64))).astype(np.int32)
-            return w_q, ("shift", b_i, k)
+                           * np.exp2(k.astype(np.float64)))
+            if np.all(np.abs(b_i) < 2**31):
+                return w_q, ("shift", b_i.astype(np.int32), k)
         w_q = np.clip(np.round(w / s_w), _INT8_MIN, _INT8_MAX).astype(np.int8)
         return w_q, ("f32", (s_x * s_w / s_out).astype(np.float32),
                      (np.asarray(b, np.float32) / s_out + 0.5)
