@@ -9,7 +9,6 @@ that XLA all-reduces), and across eval batches on host.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Dict, Optional, Sequence
 
 import jax
