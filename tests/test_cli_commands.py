@@ -98,3 +98,25 @@ def test_infer_engines(tiny_records, tmp_path, engine, capsys):
         assert l["top1"] in l["probs"]
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["examples"] == 10 and summary["engine"] == engine
+
+
+def test_infer_joint_with_engine(tiny_records, tmp_path, capsys):
+    """Joint-model serving: int8 engine for the tower, flax fuse() for the
+    text branch + fusion head."""
+    from tumblr_emotions_tpu.data import vocab as vocab_lib
+
+    v = vocab_lib.build_vocabulary([f"post {i}" for i in range(10)],
+                                   min_freq=1)
+    vpath = str(tmp_path / "vocab.txt")
+    v.save(vpath)
+    out = str(tmp_path / "preds_joint.jsonl")
+    rc = cli.main(["infer", "--model", "joint", "--vocab", vpath,
+                   "--records", os.path.join(tiny_records, "train-*.tfrecord"),
+                   "--depth-multiplier", "0.25", "--no-aux", "--max-len", "8",
+                   "--batch-size", "4", "--engine", "int8", "--out", out,
+                   "--checkpoint-dir", str(tmp_path / "ckpt")])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(out)]
+    assert len(lines) == 10
+    for l in lines:
+        assert abs(sum(l["probs"].values()) - 1.0) < 1e-2

@@ -382,10 +382,11 @@ def cmd_infer(args) -> int:
     (BASELINE config 4): --engine int8 (quantized, fastest), bf16
     (BN-folded XLA), or parity (f32 Flax model, the 1e-4 path).
 
-    Image-tower models only (the joint model's fusion head needs the text
-    branch — use `eval`/`predict` for joint).  Writes one JSON line per
-    example to --out with the emotion distribution, and prints a summary
-    with the measured images/sec.
+    Serves the image model directly, or the joint model by running the
+    Inception tower in the engine and the text branch + fusion head on its
+    2048-d feature (DeepSentimentModel.fuse; needs --vocab).  Writes one
+    JSON line per example to --out with the emotion distribution, and
+    prints a summary with the measured images/sec.
     """
     import time as _time
 
@@ -395,21 +396,29 @@ def cmd_infer(args) -> int:
     from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
 
     cfg = _build_config(args)
-    if cfg.model != "image":
-        raise SystemExit("infer serves the image tower; use eval/predict "
-                         "for text/joint models")
+    if cfg.model == "text":
+        raise SystemExit("infer serves the image/joint towers; use "
+                         "eval/predict for text-only models")
     emotions = _load_emotions(args)
-    batches = list(_make_batches(args, cfg, None, train=False))
-    trainer, state, cfg = _init_trainer_state(args, cfg, None, batches[0])
+    vocab = _load_vocab(args, cfg) if cfg.model == "joint" else None
+    batches = list(_make_batches(args, cfg, vocab, train=False))
+    trainer, state, cfg = _init_trainer_state(args, cfg, vocab, batches[0])
     restored = trainer.restore_latest(state)
     if restored is not None:
         state = restored
     variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # The fused engines consume the image tower; for the joint model that
+    # is the InceptionV3 subtree, with the text branch + fusion head
+    # applied on its 2048-d feature (DeepSentimentModel.fuse).
+    tower_vars = variables if cfg.model == "image" else {
+        "params": variables["params"]["InceptionV3"],
+        "batch_stats": variables["batch_stats"]["InceptionV3"]}
 
     if args.engine == "parity":
-        def forward(raw):
-            x = preprocess_for_eval(raw, dtype=jnp.float32)
-            _, ep = trainer.forward(variables, {"image": x}, train=False)
+        def forward(batch):
+            b = dict(batch)
+            b["image"] = preprocess_for_eval(b["image"], dtype=jnp.float32)
+            _, ep = trainer.forward(variables, b, train=False)
             return ep["Predictions"]
     else:
         if args.engine == "int8":
@@ -417,26 +426,32 @@ def cmd_infer(args) -> int:
 
             calib = preprocess_for_eval(
                 jnp.asarray(batches[0]["image"][:64]), dtype=jnp.float32)
-            engine = QuantizedInceptionV3(variables, calib,
+            engine = QuantizedInceptionV3(tower_vars, calib,
                                           epilogue="shift")
         else:
             from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
 
-            engine = FusedInceptionV3(variables, dtype=jnp.bfloat16,
+            engine = FusedInceptionV3(tower_vars, dtype=jnp.bfloat16,
                                       use_pallas=False)
 
-        def forward(raw):
-            x = preprocess_for_eval(raw, dtype=jnp.bfloat16)
-            logits, _ = engine(x)
+        def forward(batch):
+            x = preprocess_for_eval(batch["image"], dtype=jnp.bfloat16)
+            logits, feature = engine(x)
+            if cfg.model == "joint":
+                _, ep = trainer.model.apply(
+                    variables, feature.astype(jnp.float32),
+                    batch["tokens"], batch.get("lengths"), method="fuse")
+                return ep["Predictions"]
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     jfwd = jax.jit(forward)
     n, t_total = 0, 0.0
     out_f = open(args.out, "w") if args.out else None
     for b in batches:
-        raw = jnp.asarray(b["image"])
+        feed = {k: jnp.asarray(v) for k, v in b.items()
+                if k in ("image", "tokens", "lengths", "label")}
         t0 = _time.perf_counter()
-        probs = np.asarray(jfwd(raw))
+        probs = np.asarray(jfwd(feed))
         t_total += _time.perf_counter() - t0
         valid = np.asarray(b.get("weight", np.ones(len(probs), np.int32))) == 1
         for i in np.nonzero(valid)[0]:

@@ -56,21 +56,23 @@ class DeepSentimentModel(nn.Module):
             self.fusion_dense = nn.Dense(self.fusion_hidden, dtype=self.dtype,
                                          name="JointHidden")
 
-    def __call__(self, images: jax.Array, token_ids: jax.Array,
-                 lengths: Optional[jax.Array] = None, train: bool = False
-                 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
-        _, img_points = self.inception(images, train=train)
-        img_feat = jnp.squeeze(img_points["PreLogits"], axis=(1, 2))  # [B,2048]
-        txt_feat = self.text.represent(token_ids, lengths)            # [B,F]
+    def fuse(self, image_feature: jax.Array, token_ids: jax.Array,
+             lengths: Optional[jax.Array] = None
+             ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        """Text branch + fusion head over a precomputed 2048-d image
+        feature — the serving split: the image tower can run in a fused
+        engine (ops/quant.py, ops/inference.py) while this half carries
+        the text lookup and the joint softmax.  Call via
+        ``model.apply(vars, feat, tokens, lengths, method="fuse")``.
+        """
+        txt_feat = self.text.represent(token_ids, lengths)
         fused = jnp.concatenate(
-            [img_feat, txt_feat.astype(img_feat.dtype)], axis=-1)
+            [image_feature, txt_feat.astype(image_feature.dtype)], axis=-1)
         end_points = {
-            "ImageFeature": img_feat,
+            "ImageFeature": image_feature,
             "TextFeature": txt_feat,
             "Fused": fused,
         }
-        if self.create_aux_logits and "AuxLogits" in img_points:
-            end_points["AuxLogits"] = img_points["AuxLogits"]
         if self.fusion_hidden > 0:
             fused = nn.relu(self.fusion_dense(fused))
             end_points["JointHidden"] = fused
@@ -78,4 +80,14 @@ class DeepSentimentModel(nn.Module):
         end_points["Logits"] = logits
         end_points["Predictions"] = jax.nn.softmax(
             logits.astype(jnp.float32), axis=-1)
+        return logits, end_points
+
+    def __call__(self, images: jax.Array, token_ids: jax.Array,
+                 lengths: Optional[jax.Array] = None, train: bool = False
+                 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+        _, img_points = self.inception(images, train=train)
+        img_feat = jnp.squeeze(img_points["PreLogits"], axis=(1, 2))  # [B,2048]
+        logits, end_points = self.fuse(img_feat, token_ids, lengths)
+        if self.create_aux_logits and "AuxLogits" in img_points:
+            end_points["AuxLogits"] = img_points["AuxLogits"]
         return logits, end_points
