@@ -94,3 +94,18 @@ def test_activations_stay_int8(live_model):
                 quant._Int8Ops(eng.folded, eng.scales,
                                epilogue=eng.epilogue), im, stop_at=stop), x)
         assert q.dtype == jnp.int8, f"{stop} is {q.dtype}"
+
+
+def test_percentile_calibration(live_model):
+    """Quantile calibration must produce scales <= max-based ones and keep
+    end-to-end agreement (on smooth random data the two are close)."""
+    model, variables, x = live_model
+    want_logits, _ = model.apply(variables, x, train=False)
+    eng_max = QuantizedInceptionV3(variables, x)
+    eng_q = QuantizedInceptionV3(variables, x, calibration_quantile=0.999)
+    for key, s in eng_q.scales.items():
+        assert s <= eng_max.scales[key] * 1.0000001, key
+    logits, _ = jax.jit(lambda im: eng_q(im))(x)
+    agree = (np.asarray(want_logits).argmax(1)
+             == np.asarray(logits).argmax(1)).mean()
+    assert agree == 1.0

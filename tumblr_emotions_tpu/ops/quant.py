@@ -92,15 +92,31 @@ def _avgpool_3x3_same(x):
 
 
 class _CalibOps:
-    """bf16 interpretation that records max |activation| per site key."""
+    """bf16 interpretation that records per-site activation ranges.
 
-    def __init__(self, folded, dtype=jnp.bfloat16):
+    ``quantile=None`` records the exact max |activation| (safe: nothing
+    clips).  A quantile like 0.9995 records that quantile of |activation|
+    over a strided subsample instead — standard PTQ outlier clipping:
+    rare spikes stop inflating the scale (so typical values keep more of
+    the 7-bit range) and the epilogue's clamp saturates the outliers.
+    """
+
+    def __init__(self, folded, dtype=jnp.bfloat16, quantile=None):
         self.folded = folded
         self.dtype = dtype
+        self.quantile = quantile
         self.maxima: Dict[str, jax.Array] = {}
 
     def _record(self, key: str, t: jax.Array) -> None:
-        m = jnp.max(jnp.abs(t.astype(jnp.float32)))
+        a = jnp.abs(t.astype(jnp.float32))
+        if self.quantile is None:
+            m = jnp.max(a)
+        else:
+            # Strided subsample bounds the sort cost on the big stem
+            # tensors; calibration runs once so exactness is not critical.
+            flat = a.ravel()
+            m = jnp.quantile(flat[:: max(1, flat.size // 1_000_000)],
+                             self.quantile)
         self.maxima[key] = jnp.maximum(self.maxima[key], m) \
             if key in self.maxima else m
 
@@ -560,10 +576,14 @@ class QuantizedInceptionV3:
     calibration_images: preprocessed [N, 299, 299, 3] batch (output of
         preprocess_for_eval) used once to fix the static activation scales.
         Serving accuracy depends on it being representative.
+    calibration_quantile: None (default) calibrates to the exact max
+        |activation|; a value like 0.9995 clips outliers PTQ-style (rare
+        spikes saturate instead of inflating every scale).
     """
 
     def __init__(self, variables: Dict, calibration_images: jax.Array,
-                 dtype=jnp.bfloat16, epilogue: str = "shift"):
+                 dtype=jnp.bfloat16, epilogue: str = "shift",
+                 calibration_quantile=None):
         params = jax.device_get(variables["params"])
         stats = jax.device_get(variables.get("batch_stats", {}))
         self.folded = fold_batchnorm(params, stats)
@@ -571,7 +591,8 @@ class QuantizedInceptionV3:
         self.dtype = dtype
         self.epilogue = epilogue
 
-        calib = _CalibOps(self.folded, dtype=dtype)
+        calib = _CalibOps(self.folded, dtype=dtype,
+                          quantile=calibration_quantile)
 
         def run_calib(x):
             _tower(calib, x)
