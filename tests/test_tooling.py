@@ -289,3 +289,15 @@ def test_cli_csv_with_image_model_errors(tmp_path):
     with pytest.raises(SystemExit, match="needs .*images|images"):
         cli.main(["train", "--preset", "joint_finetune", "--csv",
                   str(csv_path), "--steps", "1"])
+
+
+def test_plot_circumplex(tmp_path):
+    """The analyze figure (the reference notebooks' visual output)."""
+    from tumblr_emotions_tpu import analysis
+
+    rng = np.random.RandomState(0)
+    labels = rng.randint(0, 15, 300)
+    probs = rng.dirichlet(np.ones(15), size=300)
+    res = analysis.circumplex(probs, labels)
+    p = analysis.plot_circumplex(res, str(tmp_path / "circ.png"))
+    assert os.path.getsize(p) > 10_000

@@ -70,3 +70,55 @@ def format_circumplex(result: Dict) -> str:
         x, y = result["coords"][e][:2]
         lines.append(f"{e:<12} {x:>8.4f} {y:>8.4f}")
     return "\n".join(lines)
+
+
+def plot_circumplex(result: Dict, path: str) -> str:
+    """Render the circumplex as a labeled scatter (the reference notebooks'
+    figure).  One neutral mark hue; identity rides the direct text labels
+    (15 categorical colors would be unreadable); recessive axes.
+
+    Requires matplotlib (present in this environment; an optional extra,
+    not a runtime dependency of the framework).
+    """
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError as e:  # pragma: no cover
+        raise RuntimeError(
+            "plot_circumplex needs matplotlib (pip install matplotlib)"
+        ) from e
+
+    coords = result["coords"]
+    ratio = result["explained_variance"]
+    xs = np.array([coords[e][0] for e in coords])
+    ys = np.array([coords[e][1] for e in coords])
+
+    fig, ax = plt.subplots(figsize=(7, 7), dpi=150)
+    ax.axhline(0, color="#d4d4d4", lw=1, zorder=0)
+    ax.axvline(0, color="#d4d4d4", lw=1, zorder=0)
+    # Unit-ish circle guide at the median radius (circumplex reading aid).
+    r = float(np.median(np.hypot(xs, ys)))
+    ax.add_patch(plt.Circle((0, 0), r, fill=False, color="#e5e5e5",
+                            lw=1, zorder=0))
+    ax.scatter(xs, ys, s=48, color="#3b5bd9", zorder=2)
+    for e in coords:
+        x, y = coords[e][:2]
+        off = 0.02 * max(np.abs(xs).max(), np.abs(ys).max(), 1e-9)
+        ax.annotate(e, (x, y), xytext=(x + off, y + off), fontsize=10,
+                    color="#1f1f1f", zorder=3)
+    ax.set_xlabel(f"PC1 ({ratio[0]:.0%} var)", color="#525252")
+    ax.set_ylabel(f"PC2 ({ratio[1]:.0%} var)", color="#525252")
+    ax.set_title("Emotion circumplex (PCA of per-emotion mean predictions)",
+                 fontsize=11)
+    ax.set_aspect("equal")
+    ax.margins(0.14)  # keep edge labels inside the axes
+    for s in ("top", "right"):
+        ax.spines[s].set_visible(False)
+    for s in ("left", "bottom"):
+        ax.spines[s].set_color("#a3a3a3")
+    ax.tick_params(colors="#525252", labelsize=8)
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path

@@ -374,6 +374,8 @@ def cmd_analyze(args) -> int:
     labels = np.concatenate(all_labels)
     result = analysis.circumplex(probs, labels, emotions=emotions)
     print(analysis.format_circumplex(result))
+    if args.plot:
+        print(f"wrote {analysis.plot_circumplex(result, args.plot)}")
     return 0
 
 
@@ -654,6 +656,9 @@ def main(argv=None) -> int:
         if name == "predict":
             p.add_argument("--image", default="")
             p.add_argument("--text", default="")
+        if name == "analyze":
+            p.add_argument("--plot", default="",
+                           help="write the circumplex figure (PNG/SVG) here")
         if name == "eval":
             p.add_argument("--follow", action="store_true",
                            help="continuous mode: evaluate each new "
