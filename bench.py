@@ -55,7 +55,10 @@ def main() -> int:
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
-    which = sys.argv[3] if len(sys.argv) > 3 else "int8"
+    which = sys.argv[3] if len(sys.argv) > 3 and \
+        not sys.argv[3].startswith("--") else "int8"
+    if which not in ("int8", "bf16", "pallas"):
+        raise SystemExit(f"unknown engine {which!r}: int8 | bf16 | pallas")
     with_decode = "--with-decode" in sys.argv
     src = 347  # decoded JPEG size; 299/0.875 ≈ 342 so the 0.875 crop is real
 
@@ -132,9 +135,14 @@ def main() -> int:
         END = object()
 
         def producer(n):
-            for _ in range(n):
-                arrs = jpeg.decode_batch(enc)
-                q.put(jax.device_put(np.stack(arrs)))
+            # Propagate failures: a dead producer must not look like a
+            # clean end-of-input (same contract as pipeline.device_prefetch).
+            try:
+                for _ in range(n):
+                    arrs = jpeg.decode_batch(enc)
+                    q.put(jax.device_put(np.stack(arrs)))
+            except BaseException as e:  # noqa: BLE001
+                q.put(e)
             q.put(END)
 
         t0 = time.perf_counter()
@@ -146,6 +154,8 @@ def main() -> int:
             item = q.get()
             if item is END:
                 break
+            if isinstance(item, BaseException):
+                raise item
             outs.append(fused(item))
         float(jnp.stack(outs).sum())
         comp_ips = batch * decode_steps / (time.perf_counter() - t0)

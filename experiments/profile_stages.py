@@ -49,7 +49,8 @@ def prefix(stop):
         x = preprocess_for_eval(raw, dtype=jnp.bfloat16)
         if stop == "preprocess":
             return x.astype(jnp.float32).sum()
-        ops = quant._Int8Ops(engine.wq, engine.scales)
+        ops = quant._Int8Ops(engine.folded, engine.scales,
+                             epilogue=engine.epilogue)
         t = quant._tower(ops, x, stop_at=None if stop == "full" else stop)
         if isinstance(t, tuple):
             return t[0].astype(jnp.float32).sum()

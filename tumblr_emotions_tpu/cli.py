@@ -474,7 +474,9 @@ def cmd_infer(args) -> int:
 
         imgs = preprocess_for_eval(jnp.asarray(batches[0]["image"]),
                                    dtype=jnp.float32)
-        summary["quantization_delta"] = quantization_delta(variables, imgs)
+        # The delta harness compares image-TOWER engines, so it takes the
+        # tower subtree (for the joint model, variables["...InceptionV3"]).
+        summary["quantization_delta"] = quantization_delta(tower_vars, imgs)
     print(json.dumps(summary))
     return 0
 
@@ -515,10 +517,15 @@ def cmd_parity(args) -> int:
                         depth_multiplier=args.depth_multiplier,
                         min_depth=args.min_depth,
                         dtype=jnp.float32, precision="highest")
-    data = np.load(args.goldens) if not args.save_goldens else (
-        np.load(args.images) if args.images else None)
-    if data is None:
-        raise SystemExit("need --goldens (check) or --images (generate)")
+    if args.save_goldens:
+        if not args.images:
+            raise SystemExit("--save-goldens needs --images <npz>")
+        data = np.load(args.images)
+    elif args.goldens:
+        data = np.load(args.goldens)
+    else:
+        raise SystemExit("need --goldens (check) or --images + "
+                         "--save-goldens (generate)")
     if "images" in data:
         images = jnp.asarray(data["images"], jnp.float32)
     elif "raw" in data:

@@ -19,8 +19,11 @@ multiple of the int8 sublane tile (32), so the caller pads W up to the
 next multiple; the pad columns land in the discarded region like the tap
 wrap-around does.
 
-Used by ops/quant.py when ``use_pallas_valid_convs`` is on; parity is
-bit-exact vs the XLA int8 path (same integer math, same epilogue).
+NOT wired into the engine: benched 6x SLOWER than XLA's int8 conv on the
+real 4a shape (21 vs 134 TOP/s — the 9 per-tap plane copies and the
+K=Cin per-tap contraction cost more than the fusion saves; full ledger
+in docs/PERFORMANCE.md).  Kept as a reproducible negative result with a
+bit-exact parity test (tests/test_fused_inception.py).
 """
 
 from __future__ import annotations

@@ -46,6 +46,17 @@ _INT8_MIN, _INT8_MAX = -127.0, 127.0
 _SELF = "_SELF"
 
 
+def _channel_quantize(w: np.ndarray
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel symmetric int8: (w_q, s_w) with
+    s_w[c] = max|w[..., c]|/127 (zero channels get scale 1)."""
+    w = np.asarray(w, np.float32)
+    s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
+    s_w = np.where(s_w == 0.0, 1.0, s_w).astype(np.float32)
+    w_q = np.clip(np.round(w / s_w), _INT8_MIN, _INT8_MAX).astype(np.int8)
+    return w_q, s_w
+
+
 def quantize_weights(folded: Dict[str, Tuple[np.ndarray, np.ndarray]]
                      ) -> Dict[str, Tuple[np.ndarray, np.ndarray, np.ndarray]]:
     """Per-output-channel symmetric int8 quantization of folded conv kernels.
@@ -54,10 +65,7 @@ def quantize_weights(folded: Dict[str, Tuple[np.ndarray, np.ndarray]]
     """
     out = {}
     for scope, (w, b) in folded.items():
-        w = np.asarray(w, np.float32)
-        s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
-        s_w = np.where(s_w == 0.0, 1.0, s_w).astype(np.float32)
-        w_q = np.clip(np.round(w / s_w), _INT8_MIN, _INT8_MAX).astype(np.int8)
+        w_q, s_w = _channel_quantize(w)
         out[scope] = (w_q, s_w, np.asarray(b, np.float32))
     return out
 
@@ -218,11 +226,8 @@ class _Int8Ops:
         as constants)."""
         w, b = self.folded[scope]
         w = np.asarray(w, np.float32)
-        s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
-        s_w = np.where(s_w == 0.0, 1.0, s_w).astype(np.float32)
+        w_q, s_w = _channel_quantize(w)
         if out_key is None:
-            w_q = np.clip(np.round(w / s_w), _INT8_MIN, _INT8_MAX
-                          ).astype(np.int8)
             return w_q, ("dequant", s_x * s_w, np.asarray(b, np.float32))
         s_out = self.scales[out_key]
         m = s_x * s_w / s_out
@@ -284,11 +289,7 @@ class _Int8Ops:
         for scope, key in zip(scopes, out_keys):
             if key == "pool":
                 w, b = self.folded[scope]
-                w = np.asarray(w, np.float32)
-                s_w = np.max(np.abs(w), axis=(0, 1, 2)) / 127.0
-                s_w = np.where(s_w == 0.0, 1.0, s_w).astype(np.float32)
-                w_q = np.clip(np.round(w / s_w), _INT8_MIN, _INT8_MAX
-                              ).astype(np.int8)
+                w_q, s_w = _channel_quantize(w)
                 consts.append(("pre", (s_x * s_w).astype(np.float32),
                                np.asarray(b, np.float32)))
             else:
@@ -587,7 +588,6 @@ class QuantizedInceptionV3:
         params = jax.device_get(variables["params"])
         stats = jax.device_get(variables.get("batch_stats", {}))
         self.folded = fold_batchnorm(params, stats)
-        self.wq = quantize_weights(self.folded)  # kept for introspection
         self.dtype = dtype
         self.epilogue = epilogue
 

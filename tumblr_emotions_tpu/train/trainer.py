@@ -418,18 +418,21 @@ class Trainer:
         stop_step = max_step if max_step is not None else self.cfg.train.num_steps
         writer = SummaryWriter(self.cfg.train.log_dir)
         last_evaluated = -1
-        waited = 0.0
+        # Wall-clock timeout accounting (monotonic, not summed intervals):
+        # interval_secs=0 must still time out, and poll cost must count.
+        deadline = (time.monotonic() + timeout_secs
+                    if timeout_secs is not None else None)
         while True:
             step = mgr.latest_step()
             if step is None or step <= last_evaluated:
-                if timeout_secs is not None and waited >= timeout_secs:
+                if deadline is not None and time.monotonic() >= deadline:
                     log.info("eval loop: no new checkpoint after %.0fs, "
-                             "stopping", waited)
+                             "stopping", timeout_secs)
                     return
                 _sleep(interval_secs)
-                waited += interval_secs
                 continue
-            waited = 0.0
+            if timeout_secs is not None:
+                deadline = time.monotonic() + timeout_secs
             restored = self.restore_latest(state)
             if restored is None:  # checkpoint vanished between poll and read
                 continue
