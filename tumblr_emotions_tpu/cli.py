@@ -447,7 +447,7 @@ def cmd_infer(args) -> int:
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     jfwd = jax.jit(forward)
-    n, t_total = 0, 0.0
+    n, n_correct, t_total = 0, 0, 0.0
     out_f = open(args.out, "w") if args.out else None
     for b in batches:
         feed = {k: jnp.asarray(v) for k, v in b.items()
@@ -458,6 +458,7 @@ def cmd_infer(args) -> int:
         valid = np.asarray(b.get("weight", np.ones(len(probs), np.int32))) == 1
         for i in np.nonzero(valid)[0]:
             n += 1
+            n_correct += int(probs[i].argmax() == int(b["label"][i]))
             if out_f is not None:
                 out_f.write(json.dumps({
                     "label": int(b["label"][i]),
@@ -468,6 +469,7 @@ def cmd_infer(args) -> int:
     if out_f is not None:
         out_f.close()
     summary = {"examples": n, "engine": args.engine,
+               "accuracy": round(n_correct / max(n, 1), 4),
                "images_per_sec": round(n / max(t_total, 1e-9), 1)}
     if args.validate and args.engine == "int8":
         from tumblr_emotions_tpu.ops.quant import quantization_delta
