@@ -109,3 +109,25 @@ def test_percentile_calibration(live_model):
     agree = (np.asarray(want_logits).argmax(1)
              == np.asarray(logits).argmax(1)).mean()
     assert agree == 1.0
+
+
+def test_uint8_preprocess_path_agrees(live_model):
+    """forward_from_uint8 (central crop -> int8-GEMM TF1 resize ->
+    normalization+quantization fused) must agree with the float-preprocess
+    path: the resize-matrix quantization adds less than the engine's own
+    input quantization step."""
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+
+    model, variables, _ = live_model
+    rng = np.random.RandomState(3)
+    raw = jnp.asarray(rng.randint(0, 256, (4, 345, 351, 3), dtype=np.uint8))
+    x = preprocess_for_eval(raw, dtype=jnp.float32)
+    eng = QuantizedInceptionV3(variables, calibration_images=x)
+    l_f, f_f = jax.jit(lambda im: eng(im))(x)
+    l_q, f_q = jax.jit(lambda r: eng.forward_from_uint8(r))(raw)
+    agree = (np.asarray(l_f).argmax(1) == np.asarray(l_q).argmax(1)).mean()
+    assert agree == 1.0
+    a, b = np.asarray(f_f), np.asarray(f_q)
+    cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1)
+                            * np.linalg.norm(b, axis=1) + 1e-9)
+    assert cos.min() > 0.999, cos
