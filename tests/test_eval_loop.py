@@ -3,13 +3,16 @@ SURVEY.md §2a #11 / §3.3): restore-latest, evaluate, wait for the next
 checkpoint, repeat, stop at the final train step."""
 
 import csv
+import io
+import os
 
 import jax
 import numpy as np
 import pytest
 
 from tumblr_emotions_tpu.config import EMOTIONS, get_preset
-from tumblr_emotions_tpu.data import csv_dataset, vocab
+from tumblr_emotions_tpu.data import csv_dataset, pipeline, records, vocab
+from tumblr_emotions_tpu.parallel import mesh as mesh_lib
 from tumblr_emotions_tpu.train import Trainer
 
 
@@ -85,3 +88,55 @@ def test_follow_times_out_without_new_checkpoints(text_setup, tmp_path):
     # One evaluation (step 1), then timeout ends the loop despite
     # max_step not being reached.
     assert [s for s, _ in out] == [1]
+
+
+def _jpeg(seed, hw=(40, 52)):
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    img = (np.cumsum(np.cumsum(rng.rand(*hw, 3), 0), 1) * 7 % 255
+           ).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, "JPEG", quality=90)
+    return buf.getvalue()
+
+
+def test_dp_eval_over_records_with_ragged_split(tmp_path):
+    """BASELINE config 5's eval leg: records-path eval on a multi-device
+    mesh with a split size NOT divisible by the batch (or device count).
+    The pipeline must pad the final batch to the static shape with
+    weight=0 rows so (a) P("data") placement works and (b) the jitted
+    eval step never recompiles (VERDICT r2 weak #3).
+    """
+    n_records = 21  # 21 % 8 = 5: short final batch on an 8-device mesh
+    texts = [f"record {i} feels happy today" for i in range(n_records)]
+    exs = [records.post_to_example(_jpeg(i), texts[i], i % 15,
+                                   post_id=str(i))
+           for i in range(n_records)]
+    records.write_sharded_tfrecords(exs, str(tmp_path), "val", 2)
+    v = vocab.build_vocabulary(texts, min_freq=1)
+
+    cfg = get_preset("text_only")
+    cfg = cfg.replace(
+        text=cfg.text.replace(vocab_size=v.size, embed_dim=8, max_len=8),
+        train=cfg.train.replace(batch_size=8,
+                                checkpoint_dir=str(tmp_path / "ckpt"),
+                                log_dir=str(tmp_path / "logs")))
+    mesh = mesh_lib.create_mesh()
+    assert mesh.devices.size == 8
+    trainer = Trainer(cfg, mesh=mesh)
+
+    pcfg = pipeline.PipelineConfig(
+        batch_size=8, host_size=32, max_len=8, shuffle=False,
+        num_epochs=1, drop_remainder=False)
+    pattern = os.path.join(str(tmp_path), "val-*.tfrecord")
+    batches = list(pipeline.batches(pattern, v, pcfg))
+    # Static shapes throughout, including the padded final batch.
+    assert all(b["tokens"].shape == (8, 8) for b in batches)
+    assert sum(int(b["weight"].sum()) for b in batches) == n_records
+
+    state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
+    summary = trainer.evaluate(state, batches, class_names=EMOTIONS)
+    assert summary["count"] == n_records
+    # One compilation: the padded batch reused the same executable.
+    assert trainer._compiled_eval._cache_size() == 1

@@ -447,14 +447,23 @@ def cmd_infer(args) -> int:
             return jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
 
     jfwd = jax.jit(forward)
-    n, n_correct, t_total = 0, 0, 0.0
+
+    def _feed(b):
+        return {k: jnp.asarray(v) for k, v in b.items()
+                if k in ("image", "tokens", "lengths", "label")}
+
+    # Untimed warmup so images_per_sec reports steady-state serving rate,
+    # not the first batch's jit compile (ADVICE r2).
+    if batches:
+        np.asarray(jfwd(_feed(batches[0])))
+    n, n_correct, t_total, n_timed = 0, 0, 0.0, 0
     out_f = open(args.out, "w") if args.out else None
     for b in batches:
-        feed = {k: jnp.asarray(v) for k, v in b.items()
-                if k in ("image", "tokens", "lengths", "label")}
+        feed = _feed(b)
         t0 = _time.perf_counter()
         probs = np.asarray(jfwd(feed))
         t_total += _time.perf_counter() - t0
+        n_timed += len(probs)
         valid = np.asarray(b.get("weight", np.ones(len(probs), np.int32))) == 1
         for i in np.nonzero(valid)[0]:
             n += 1
@@ -470,7 +479,7 @@ def cmd_infer(args) -> int:
         out_f.close()
     summary = {"examples": n, "engine": args.engine,
                "accuracy": round(n_correct / max(n, 1), 4),
-               "images_per_sec": round(n / max(t_total, 1e-9), 1)}
+               "images_per_sec": round(n_timed / max(t_total, 1e-9), 1)}
     if args.validate and args.engine == "int8":
         from tumblr_emotions_tpu.ops.quant import quantization_delta
 

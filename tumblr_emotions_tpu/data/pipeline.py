@@ -190,9 +190,34 @@ def make_dataset(pattern: str, vocab: Optional[Vocabulary], cfg: PipelineConfig)
     return ds.map(parse)
 
 
+def _pad_to_static(batch: Dict[str, np.ndarray], batch_size: int
+                   ) -> Dict[str, np.ndarray]:
+    """Pad a short final batch to the static ``batch_size`` with zero rows
+    and ``weight=0`` so (a) the jitted eval step never recompiles for a
+    ragged shape and (b) ``shard_batch``'s P("data") placement stays valid
+    on multi-device meshes regardless of the split size N.  Mirrors the
+    CSV path (csv_dataset.text_batches); eval metrics mask on weight.
+    """
+    n = int(next(iter(batch.values())).shape[0])
+    if n == batch_size:
+        return batch
+    out = {}
+    for k, v in batch.items():
+        v = np.asarray(v)
+        pad = np.zeros((batch_size - n,) + v.shape[1:], v.dtype)
+        out[k] = np.concatenate([v, pad], axis=0)
+    # weight already 1 for real rows (set in parse); padded rows stay 0.
+    return out
+
+
 def batches(pattern: str, vocab: Optional[Vocabulary], cfg: PipelineConfig
             ) -> Iterator[Dict[str, np.ndarray]]:
-    """Batched numpy iterator (grain batch + optional worker prefetch)."""
+    """Batched numpy iterator (grain batch + optional worker prefetch).
+
+    With ``drop_remainder=False`` every batch — including the last — has
+    the static leading dimension ``cfg.batch_size`` (short remainders are
+    zero-padded with weight=0 rows).
+    """
     import grain
 
     ds = make_dataset(pattern, vocab, cfg)
@@ -201,7 +226,9 @@ def batches(pattern: str, vocab: Optional[Vocabulary], cfg: PipelineConfig
     if cfg.worker_count > 0:
         it = it.mp_prefetch(
             grain.MultiprocessingOptions(num_workers=cfg.worker_count))
-    return iter(it)
+    if cfg.drop_remainder:
+        return iter(it)
+    return (_pad_to_static(b, cfg.batch_size) for b in it)
 
 
 def device_prefetch(batch_iter: Iterable[Dict[str, np.ndarray]], mesh,

@@ -619,12 +619,19 @@ class QuantizedInceptionV3:
         ops = _Int8Ops(self.folded, self.scales, dtype=self.dtype,
                        epilogue=self.epilogue)
         net = _tower(ops, x)
-        # Global average pool over min(8, spatial), like FusedInceptionV3.
+        # Global average pool over min(8, spatial), exactly like
+        # FusedInceptionV3 (slim's _reduced_kernel_size_for_small_input):
+        # <=8 spatial pools everything; >8 spatial keeps the full windowed
+        # pool rather than silently cropping to the top-left 8x8.
         kh = min(8, net.shape[1])
         kw = min(8, net.shape[2])
-        feature = jnp.mean(net[:, :kh, :kw, :].astype(jnp.float32),
-                           axis=(1, 2)) if (net.shape[1], net.shape[2]) != \
-            (kh, kw) else jnp.mean(net.astype(jnp.float32), axis=(1, 2))
+        if (net.shape[1], net.shape[2]) == (kh, kw):
+            feature = jnp.mean(net.astype(jnp.float32), axis=(1, 2))
+        else:
+            from flax import linen as nn
+            feature = jnp.squeeze(
+                nn.avg_pool(net.astype(jnp.float32), (kh, kw), (1, 1),
+                            "VALID"), axis=(1, 2))
         logits = None
         if "Logits/Conv2d_1c_1x1" in self.folded:
             w, b = self.folded["Logits/Conv2d_1c_1x1"]

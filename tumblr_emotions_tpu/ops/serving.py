@@ -38,15 +38,21 @@ def data_parallel_server(engine, mesh,
     """
     from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
 
+    def _checked(logits, feature):
+        if logits is None:  # trace-time: engine built from a headless ckpt
+            raise ValueError(
+                "engine has no Logits head (checkpoint lacks "
+                "Logits/Conv2d_1c_1x1); build the server from a classifier "
+                "checkpoint, or call the engine directly for features")
+        return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1), feature)
+
     if mesh.devices.size == 1:
         # Single device: plain jit, uncommitted inputs (see
         # mesh.shard_batch for the remote-runtime placement gotcha).
         @jax.jit
         def fn1(raw_u8):
             x = preprocess_for_eval(raw_u8, dtype=preprocess_dtype)
-            logits, feature = engine(x)
-            return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
-                    feature)
+            return _checked(*engine(x))
 
         return fn1
 
@@ -56,8 +62,6 @@ def data_parallel_server(engine, mesh,
                        out_shardings=(data, data))
     def fn(raw_u8):
         x = preprocess_for_eval(raw_u8, dtype=preprocess_dtype)
-        logits, feature = engine(x)
-        return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1),
-                feature)
+        return _checked(*engine(x))
 
     return fn

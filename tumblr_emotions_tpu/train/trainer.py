@@ -431,11 +431,20 @@ class Trainer:
                     return
                 _sleep(interval_secs)
                 continue
+            restored = self.restore_latest(state)
+            if restored is None:
+                # Checkpoint vanished between poll and read, or was only
+                # partially written: honor the deadline and back off rather
+                # than busy-spinning (and do NOT reset the deadline — a
+                # permanently corrupt latest ckpt must still time out).
+                if deadline is not None and time.monotonic() >= deadline:
+                    log.info("eval loop: no restorable checkpoint after "
+                             "%.0fs, stopping", timeout_secs)
+                    return
+                _sleep(interval_secs)
+                continue
             if timeout_secs is not None:
                 deadline = time.monotonic() + timeout_secs
-            restored = self.restore_latest(state)
-            if restored is None:  # checkpoint vanished between poll and read
-                continue
             summary = self.evaluate(restored, batches_fn(),
                                     class_names=class_names)
             last_evaluated = int(restored.step)
