@@ -90,6 +90,43 @@ def test_follow_times_out_without_new_checkpoints(text_setup, tmp_path):
     assert [s for s, _ in out] == [1]
 
 
+def test_follow_times_out_when_restore_keeps_failing(text_setup, tmp_path,
+                                                     monkeypatch):
+    """A checkpoint step that exists but never restores (partially written
+    or corrupt) must back off and honor --eval-timeout instead of
+    busy-spinning forever (ADVICE r2 #1)."""
+    posts, v = text_setup
+    cfg = get_preset("text_only")
+    cfg = cfg.replace(
+        text=cfg.text.replace(vocab_size=v.size, embed_dim=8, max_len=8),
+        train=cfg.train.replace(batch_size=8, num_steps=100, log_every=1000,
+                                checkpoint_dir=str(tmp_path / "ckpt3"),
+                                log_dir=str(tmp_path / "logs3")))
+    trainer = Trainer(cfg)
+    batches = list(csv_dataset.text_batches(
+        posts, v, 8, cfg.text.max_len, seed=0, num_epochs=1,
+        drop_remainder=False))
+    state = trainer.init_state(jax.random.PRNGKey(0), batches[0])
+    trainer.checkpoint_manager()
+    trainer.save_checkpoint(state.replace(step=jax.numpy.asarray(1)))
+    monkeypatch.setattr(trainer, "restore_latest", lambda s: None)
+
+    import time as _time
+
+    sleeps = []
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        _time.sleep(0.01)  # consume real time like a real back-off would
+
+    out = list(trainer.evaluate_continuously(
+        state, lambda: batches, interval_secs=0.5, max_step=100,
+        timeout_secs=0.2, _sleep=fake_sleep))
+    assert out == []          # nothing ever evaluated
+    assert len(sleeps) >= 1   # backed off rather than spinning
+    assert len(sleeps) < 100  # ...and the deadline actually fired
+
+
 def _jpeg(seed, hw=(40, 52)):
     from PIL import Image
 

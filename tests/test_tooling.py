@@ -301,3 +301,26 @@ def test_plot_circumplex(tmp_path):
     res = analysis.circumplex(probs, labels)
     p = analysis.plot_circumplex(res, str(tmp_path / "circ.png"))
     assert os.path.getsize(p) > 10_000
+
+
+def test_build_model_joint_passes_bn_and_precision():
+    """The joint model must inherit EVERY image-tower knob from the config
+    (round-2 fixed depth_multiplier; round-3 found bn_momentum/epsilon/
+    scale and MXU precision silently dropped the same way)."""
+    from tumblr_emotions_tpu.config import get_preset
+    from tumblr_emotions_tpu.train.trainer import build_model
+
+    cfg = get_preset("joint_finetune")
+    cfg = cfg.replace(image=cfg.image.replace(
+        bn_momentum=0.9, bn_epsilon=0.01, bn_scale=True))
+    model, _ = build_model(cfg)
+    assert model.bn_momentum == 0.9
+    assert model.bn_epsilon == 0.01
+    assert model.bn_scale is True
+    assert model.pad_id == cfg.text.pad_id
+    # joint_finetune is parity mode: the image tower must run true-f32 MXU.
+    assert model.precision == "highest"
+
+    perf = cfg.replace(train=cfg.train.replace(precision_mode="perf"))
+    model2, _ = build_model(perf)
+    assert model2.precision is None

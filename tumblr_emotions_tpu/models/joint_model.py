@@ -29,12 +29,17 @@ class DeepSentimentModel(nn.Module):
     num_classes: int = 15
     aggregator: str = "mean"
     rnn_hidden: int = 256
+    pad_id: int = 0
     fusion_hidden: int = 0         # optional dense layer on the fused vector
     dropout_keep_prob: float = 0.8
     create_aux_logits: bool = True
     depth_multiplier: float = 1.0
     min_depth: int = 16
+    bn_momentum: float = 0.9997    # slim batch_norm decay
+    bn_epsilon: float = 0.001
+    bn_scale: bool = False
     dtype: Dtype = jnp.float32
+    precision: Any = None          # "highest" in parity mode
 
     def setup(self):
         # Scope named "InceptionV3" so image-branch params live at exactly
@@ -45,11 +50,14 @@ class DeepSentimentModel(nn.Module):
             min_depth=self.min_depth,
             dropout_keep_prob=self.dropout_keep_prob,
             create_aux_logits=self.create_aux_logits,
-            dtype=self.dtype, name="InceptionV3")
+            bn_momentum=self.bn_momentum, bn_epsilon=self.bn_epsilon,
+            bn_scale=self.bn_scale,
+            dtype=self.dtype, precision=self.precision, name="InceptionV3")
         self.text = TextEmotionModel(
             vocab_size=self.vocab_size, embed_dim=self.embed_dim,
             num_classes=self.num_classes, aggregator=self.aggregator,
-            rnn_hidden=self.rnn_hidden, dtype=self.dtype, name="Text")
+            rnn_hidden=self.rnn_hidden, pad_id=self.pad_id,
+            dtype=self.dtype, name="Text")
         self.joint_logits = nn.Dense(self.num_classes, dtype=self.dtype,
                                      name="JointLogits")
         if self.fusion_hidden > 0:

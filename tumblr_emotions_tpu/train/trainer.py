@@ -95,7 +95,10 @@ def build_model(cfg: Config):
             dropout_keep_prob=cfg.image.dropout_keep_prob,
             create_aux_logits=cfg.image.create_aux_logits,
             depth_multiplier=cfg.image.depth_multiplier,
-            min_depth=cfg.image.min_depth, dtype=dtype)
+            min_depth=cfg.image.min_depth, pad_id=cfg.text.pad_id,
+            bn_momentum=cfg.image.bn_momentum,
+            bn_epsilon=cfg.image.bn_epsilon, bn_scale=cfg.image.bn_scale,
+            dtype=dtype, precision=precision)
 
         def forward(variables, batch, train, rngs=None, mutable=False):
             return model.apply(variables, batch["image"], batch["tokens"],
