@@ -53,7 +53,7 @@ def main() -> int:
     from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
     from tumblr_emotions_tpu.train import build_model
 
-    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+    batch = int(sys.argv[1]) if len(sys.argv) > 1 else 768
     steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
     which = sys.argv[3] if len(sys.argv) > 3 and \
         not sys.argv[3].startswith("--") else "int8"
@@ -90,11 +90,23 @@ def main() -> int:
         engine = FusedInceptionV3(variables, dtype=jnp.bfloat16,
                                   use_pallas=(which == "pallas"))
 
-    @jax.jit
-    def fused(raw_u8):
+    def body(raw_u8):
         x = preprocess_for_eval(raw_u8, dtype=jnp.bfloat16)
         logits, _ = engine(x)
         return logits.astype(jnp.float32).sum()
+
+    # Per-compile TPU flags (round-3 sweep, docs/PERFORMANCE.md): the
+    # default 16M scoped-vmem limit starves the big stem fusions; 64M is
+    # worth ~+2.7%.  Client-side XLA_FLAGS env cannot carry these, but
+    # jit compiler_options forwards them through the compile path.  Fall
+    # back to a plain jit where the backend rejects them (e.g. CPU).
+    try:
+        fused = jax.jit(body, compiler_options={
+            "xla_tpu_scoped_vmem_limit_kib": "65536",
+            "xla_tpu_scavenge_vmem_for_fusions": "true"})
+        float(fused(dev_batches[0]))
+    except Exception:  # noqa: BLE001
+        fused = jax.jit(body)
 
     ips = _measure(fused, dev_batches, batch, steps)
     print(json.dumps({
