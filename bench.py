@@ -96,17 +96,13 @@ def main() -> int:
         return logits.astype(jnp.float32).sum()
 
     # Per-compile TPU flags (round-3 sweep, docs/PERFORMANCE.md): the
-    # default 16M scoped-vmem limit starves the big stem fusions; 64M is
-    # worth ~+2.7%.  Client-side XLA_FLAGS env cannot carry these, but
-    # jit compiler_options forwards them through the compile path.  Fall
-    # back to a plain jit where the backend rejects them (e.g. CPU).
-    try:
-        fused = jax.jit(body, compiler_options={
-            "xla_tpu_scoped_vmem_limit_kib": "65536",
-            "xla_tpu_scavenge_vmem_for_fusions": "true"})
-        float(fused(dev_batches[0]))
-    except Exception:  # noqa: BLE001
-        fused = jax.jit(body)
+    # default 16M scoped-vmem limit starves the big stem fusions; 64M +
+    # vmem scavenging is worth ~+3%.  tpu_jit forwards them through the
+    # compile path and falls back to a plain jit where the backend
+    # rejects them (e.g. CPU).
+    from tumblr_emotions_tpu.utils.compile_opts import tpu_jit
+
+    fused = tpu_jit(body)
 
     ips = _measure(fused, dev_batches, batch, steps)
     print(json.dumps({

@@ -324,3 +324,27 @@ def test_build_model_joint_passes_bn_and_precision():
     perf = cfg.replace(train=cfg.train.replace(precision_mode="perf"))
     model2, _ = build_model(perf)
     assert model2.precision is None
+
+
+def test_tpu_jit_runs_and_exposes_cache_size():
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.utils.compile_opts import tpu_jit
+
+    f = tpu_jit(lambda x: x * 2)
+    np.testing.assert_array_equal(np.asarray(f(jnp.arange(4.0))),
+                                  [0.0, 2.0, 4.0, 6.0])
+    assert f._cache_size() >= 1
+
+
+def test_tpu_jit_falls_back_on_rejected_options():
+    """An option the backend rejects must fall back to plain jit, not
+    raise — the CPU test mesh compiles every served program this way."""
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.utils.compile_opts import tpu_jit
+
+    f = tpu_jit(lambda x: x + 1,
+                compiler_options={"xla_surely_not_a_real_flag": "1"})
+    np.testing.assert_array_equal(np.asarray(f(jnp.zeros(2))), [1.0, 1.0])
+    np.testing.assert_array_equal(np.asarray(f(jnp.ones(2))), [2.0, 2.0])

@@ -27,13 +27,13 @@ chips and batches whose leading dimension divides the data axis.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from tumblr_emotions_tpu.parallel import mesh as mesh_lib
+from tumblr_emotions_tpu.utils.compile_opts import tpu_jit
 
 
 def _forward(engine, raw_u8, from_uint8: bool, preprocess_dtype):
@@ -78,11 +78,10 @@ def data_parallel_server(engine, mesh,
     if mesh.devices.size == 1:
         # Single device: plain jit, uncommitted inputs (see
         # mesh.shard_batch for the remote-runtime placement gotcha).
-        return jax.jit(body)
+        return tpu_jit(body)
 
     data = mesh_lib.batch_sharding(mesh)
-    return functools.partial(jax.jit, in_shardings=(data,),
-                             out_shardings=(data, data))(body)
+    return tpu_jit(body, in_shardings=(data,), out_shardings=(data, data))
 
 
 def joint_data_parallel_server(engine, model, variables, mesh,
@@ -105,9 +104,8 @@ def joint_data_parallel_server(engine, model, variables, mesh,
         return ep["Predictions"]
 
     if mesh.devices.size == 1:
-        return jax.jit(body)
+        return tpu_jit(body)
 
     data = mesh_lib.batch_sharding(mesh)
-    return functools.partial(
-        jax.jit, in_shardings=(data, data, data),
-        out_shardings=data)(body)
+    return tpu_jit(body, in_shardings=(data, data, data),
+                   out_shardings=data)

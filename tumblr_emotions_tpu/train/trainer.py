@@ -314,18 +314,21 @@ class Trainer:
         per step).  Multi-device meshes get explicit NamedShardings: params
         replicated, batch split on the data axis, XLA all-reducing grads.
         """
+        from tumblr_emotions_tpu.utils.compile_opts import tpu_jit
+
         if self.mesh.devices.size == 1:
-            self._compiled_train = jax.jit(self.train_step, donate_argnums=(0,))
-            self._compiled_eval = jax.jit(self.eval_step)
+            self._compiled_train = tpu_jit(self.train_step,
+                                           donate_argnums=(0,))
+            self._compiled_eval = tpu_jit(self.eval_step)
             return self
         repl = NamedSharding(self.mesh, P())
         data = NamedSharding(self.mesh, P("data"))
-        self._compiled_train = jax.jit(
+        self._compiled_train = tpu_jit(
             self.train_step,
             in_shardings=(repl, data, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,))
-        self._compiled_eval = jax.jit(
+        self._compiled_eval = tpu_jit(
             self.eval_step, in_shardings=(repl, data), out_shardings=repl)
         return self
 
