@@ -337,6 +337,52 @@ def test_tpu_jit_runs_and_exposes_cache_size():
     assert f._cache_size() >= 1
 
 
+def test_autotune_skips_rejected_candidates_and_caches(tmp_path):
+    """On the CPU backend every xla_tpu_* candidate is rejected, so the
+    empty option set must win; the result must round-trip through the
+    JSON cache without re-measuring."""
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.utils import compile_opts
+
+    calls = {"n": 0}
+
+    def f(x):
+        calls["n"] += 1
+        return x * 2 + 1
+
+    cache = str(tmp_path / "tune.json")
+    args = (jnp.arange(8.0),)
+    cands = [{}, {"xla_surely_not_a_real_flag": "1"}]
+    best = compile_opts.autotune(f, args, steps=2, repeats=1,
+                                 candidates=cands, cache_path=cache)
+    assert best == {}
+    assert calls["n"] >= 1  # traced at least once
+    traced = calls["n"]
+
+    # Second call: served from cache, no new trace/measure.
+    best2 = compile_opts.autotune(f, args, steps=2, repeats=1,
+                                  candidates=cands, cache_path=cache)
+    assert best2 == {}
+    assert calls["n"] == traced
+
+    # The winning options slot straight into tpu_jit.
+    g = compile_opts.tpu_jit(lambda x: x - 1, compiler_options=best or
+                             compile_opts.DEFAULT_TPU_COMPILER_OPTIONS)
+    np.testing.assert_array_equal(np.asarray(g(jnp.ones(3))), [0.0] * 3)
+
+
+def test_autotune_raises_when_nothing_compiles():
+    import jax.numpy as jnp
+    import pytest
+
+    from tumblr_emotions_tpu.utils.compile_opts import autotune
+
+    with pytest.raises(RuntimeError, match="every candidate failed"):
+        autotune(lambda x: x, (jnp.zeros(2),), steps=1, repeats=1,
+                 candidates=[{"xla_surely_not_a_real_flag": "1"}])
+
+
 def test_tpu_jit_falls_back_on_rejected_options():
     """An option the backend rejects must fall back to plain jit, not
     raise — the CPU test mesh compiles every served program this way."""

@@ -16,7 +16,10 @@ fallback is decided lazily on the first call, where compilation happens.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional
+import json
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
 
@@ -24,6 +27,17 @@ DEFAULT_TPU_COMPILER_OPTIONS: Dict[str, str] = {
     "xla_tpu_scoped_vmem_limit_kib": "65536",
     "xla_tpu_scavenge_vmem_for_fusions": "true",
 }
+
+# The ladder `autotune` walks by default: the empty dict (whatever the
+# runtime's own flags are) plus scoped-vmem sizes around the measured
+# winner, each with and without vmem scavenging.  Candidates a backend
+# rejects (e.g. TPU flags on CPU) are skipped, so the ladder is safe to
+# evaluate anywhere.
+DEFAULT_AUTOTUNE_CANDIDATES: List[Dict[str, str]] = [{}] + [
+    {"xla_tpu_scoped_vmem_limit_kib": str(kib), **scav}
+    for kib in (32768, 49152, 65536, 81920)
+    for scav in ({}, {"xla_tpu_scavenge_vmem_for_fusions": "true"})
+]
 
 
 def tpu_jit(fn: Callable, *, compiler_options: Optional[Dict[str, str]] = None,
@@ -58,3 +72,85 @@ def tpu_jit(fn: Callable, *, compiler_options: Optional[Dict[str, str]] = None,
     call._plain = plain
     call._cache_size = _cache_size
     return call
+
+
+def _readback(out: Any) -> None:
+    """Force execution to finish by fetching one element to the host.
+
+    ``block_until_ready`` is not synchronous through every remote-TPU
+    runtime (docs/PERFORMANCE.md measurement methodology); a host
+    readback of a value that depends on the program's output is.
+    """
+    import numpy as np
+
+    for leaf in jax.tree_util.tree_leaves(out):
+        if hasattr(leaf, "ravel"):
+            np.asarray(jax.numpy.ravel(leaf)[0])
+
+
+def autotune(fn: Callable, example_args: Sequence[Any], *,
+             candidates: Optional[Sequence[Dict[str, str]]] = None,
+             steps: int = 8, repeats: int = 3,
+             cache_path: Optional[str] = None,
+             key: Optional[str] = None) -> Dict[str, str]:
+    """Measure candidate compiler-option sets for ``fn`` and return the best.
+
+    Walks ``candidates`` (default: `DEFAULT_AUTOTUNE_CANDIDATES`), compiling
+    ``fn`` with each and timing ``steps`` calls over ``example_args``
+    (median of ``repeats`` windows, each ended by a host readback so remote
+    runtimes can't overlap past the timer).  Candidates the backend rejects
+    at compile/first-run time are skipped.  Returns the winning options
+    dict — pass it to :func:`tpu_jit` via ``compiler_options=``.
+
+    With ``cache_path`` set, results are persisted to a JSON file keyed by
+    ``key`` (default: the function's name + abstract arg signature), so
+    production jobs pay the sweep once per program shape.
+    """
+    cands = list(DEFAULT_AUTOTUNE_CANDIDATES if candidates is None
+                 else candidates)
+    if key is None:
+        sig = ",".join(
+            f"{getattr(a, 'dtype', type(a).__name__)}{list(getattr(a, 'shape', []))}"
+            for a in example_args)
+        key = f"{getattr(fn, '__name__', 'fn')}({sig})"
+
+    cache: Dict[str, Dict[str, str]] = {}
+    if cache_path and os.path.exists(cache_path):
+        try:
+            with open(cache_path) as f:
+                cache = json.load(f)
+        except (OSError, ValueError):
+            cache = {}
+        if key in cache:
+            return dict(cache[key])
+
+    best: Optional[Dict[str, str]] = None
+    best_t = float("inf")
+    for opts in cands:
+        compiled = (jax.jit(fn, compiler_options=dict(opts)) if opts
+                    else jax.jit(fn))
+        try:
+            _readback(compiled(*example_args))  # compile + warmup
+        except Exception:  # noqa: BLE001 — backend rejected these flags
+            continue
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(steps):
+                out = compiled(*example_args)
+            _readback(out)
+            times.append(time.perf_counter() - t0)
+        t = sorted(times)[len(times) // 2]
+        if t < best_t:
+            best, best_t = dict(opts), t
+    if best is None:
+        raise RuntimeError("autotune: every candidate failed to compile")
+
+    if cache_path:
+        cache[key] = best
+        tmp = f"{cache_path}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+        os.replace(tmp, cache_path)
+    return best
