@@ -95,11 +95,11 @@ def main() -> int:
         logits, _ = engine(x)
         return logits.astype(jnp.float32).sum()
 
-    # Per-compile TPU flags (round-3 sweep, docs/PERFORMANCE.md): the
-    # default 16M scoped-vmem limit starves the big stem fusions; 64M +
-    # vmem scavenging is worth ~+3%.  tpu_jit forwards them through the
-    # compile path and falls back to a plain jit where the backend
-    # rejects them (e.g. CPU).
+    # Per-compile TPU flags (round-3 sweeps, docs/PERFORMANCE.md): 64M
+    # scoped vmem + vmem scavenging (+3%) + conv-input downcast fusion
+    # (+5.5%, bit-identical logits) take the int8 engine to 10,110 img/s.
+    # tpu_jit forwards them through the compile path and falls back to a
+    # plain jit where the backend rejects them (e.g. CPU).
     from tumblr_emotions_tpu.utils.compile_opts import tpu_jit
 
     fused = tpu_jit(body)

@@ -120,3 +120,33 @@ def test_infer_joint_with_engine(tiny_records, tmp_path, capsys):
     assert len(lines) == 10
     for l in lines:
         assert abs(sum(l["probs"].values()) - 1.0) < 1e-2
+
+
+def test_tune_sweeps_and_caches(tmp_path, capsys):
+    """`cli tune` sweeps the candidate ladder on the local backend (every
+    TPU flag is rejected on CPU, so the empty option set wins), prints the
+    per-candidate rates, and persists the winner to the JSON cache."""
+    cands = str(tmp_path / "cands.json")
+    with open(cands, "w") as f:
+        json.dump([{}, {"xla_surely_not_a_real_flag": "1"}], f)
+    cache = str(tmp_path / "tune.json")
+    rc = cli.main(["tune", "--engine", "int8", "--batch-size", "4",
+                   "--image-size", "320", "--steps", "2", "--repeats", "1",
+                   "--depth-multiplier", "0.25", "--cache", cache,
+                   "--candidates", cands])
+    assert rc == 0
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["best_options"] == {}
+    assert report["candidates_measured"] == 1  # the bogus flag was skipped
+    assert report["best_images_per_sec"] > 0
+    assert "TET_COMPILER_OPTIONS" in report["apply_hint"]
+    cached = json.load(open(cache))
+    assert cached["serving/int8/b4"] == {}
+
+
+def test_tune_rejects_bad_candidates_file(tmp_path):
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump({"not": "a list"}, f)
+    with pytest.raises(SystemExit, match="candidates"):
+        cli.main(["tune", "--candidates", bad])

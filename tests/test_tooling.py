@@ -394,3 +394,32 @@ def test_tpu_jit_falls_back_on_rejected_options():
                 compiler_options={"xla_surely_not_a_real_flag": "1"})
     np.testing.assert_array_equal(np.asarray(f(jnp.zeros(2))), [1.0, 1.0])
     np.testing.assert_array_equal(np.asarray(f(jnp.ones(2))), [2.0, 2.0])
+
+
+def test_compiler_options_env_override(monkeypatch):
+    """TET_COMPILER_OPTIONS (the `cli tune` apply hint) overrides the
+    built-in defaults for every tpu_jit call site; '{}' disables flags."""
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.utils import compile_opts
+
+    monkeypatch.setenv("TET_COMPILER_OPTIONS",
+                       '{"xla_tpu_scoped_vmem_limit_kib": 32768}')
+    assert compile_opts.default_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "32768"}  # values coerced to str
+
+    monkeypatch.setenv("TET_COMPILER_OPTIONS", "{}")
+    f = compile_opts.tpu_jit(lambda x: x + 1)
+    np.testing.assert_array_equal(np.asarray(f(jnp.zeros(2))), [1.0, 1.0])
+    assert f._flagged is f._plain  # no flagged compile when options are empty
+
+    monkeypatch.setenv("TET_COMPILER_OPTIONS", "not json")
+    with pytest.raises(ValueError, match="not valid JSON"):
+        compile_opts.default_options()
+    monkeypatch.setenv("TET_COMPILER_OPTIONS", '["list"]')
+    with pytest.raises(ValueError, match="JSON object"):
+        compile_opts.default_options()
+
+    monkeypatch.delenv("TET_COMPILER_OPTIONS")
+    assert (compile_opts.default_options()
+            == compile_opts.DEFAULT_TPU_COMPILER_OPTIONS)

@@ -19,6 +19,7 @@ presets:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import logging
 import sys
@@ -677,6 +678,83 @@ def cmd_train_embeddings(args) -> int:
     return 0
 
 
+def cmd_tune(args) -> int:
+    """Autotune XLA compiler options for the fused serving program.
+
+    Builds the same [preprocess -> engine forward] program bench.py and
+    `cli infer` serve, sweeps the candidate compiler-option ladder on the
+    local backend (utils/compile_opts.autotune), and persists the winner
+    to a JSON cache.  Export the printed options via TET_COMPILER_OPTIONS
+    to apply them to every tpu_jit call site (serving, trainer, bench)
+    without code changes.  Candidates the backend rejects (e.g. TPU flags
+    on CPU) are skipped automatically, so the sweep is safe anywhere.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.config import get_preset
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+    from tumblr_emotions_tpu.train import build_model
+    from tumblr_emotions_tpu.utils import compile_opts
+
+    candidates = None
+    if args.candidates:
+        with open(args.candidates) as f:
+            candidates = json.load(f)
+        if (not isinstance(candidates, list)
+                or not all(isinstance(c, dict) for c in candidates)):
+            raise SystemExit(f"--candidates {args.candidates} must hold a "
+                             "JSON list of flag->value objects")
+
+    cfg = get_preset("fused_inference")
+    if args.depth_multiplier != 1.0:
+        cfg = dataclasses.replace(cfg, image=dataclasses.replace(
+            cfg.image, depth_multiplier=args.depth_multiplier))
+    model, _ = build_model(cfg)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 299, 299, 3), jnp.bfloat16),
+                           train=False)
+    src = args.image_size  # decoded-JPEG size fed to the 0.875 crop
+    raw = jax.device_put(np.random.RandomState(0).randint(
+        0, 256, size=(args.batch_size, src, src, 3), dtype=np.uint8))
+
+    if args.engine == "int8":
+        from tumblr_emotions_tpu.ops.quant import QuantizedInceptionV3
+
+        calib = preprocess_for_eval(raw[:64], dtype=jnp.float32)
+        engine = QuantizedInceptionV3(variables, calib, epilogue="shift")
+    else:
+        from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
+
+        engine = FusedInceptionV3(variables, dtype=jnp.bfloat16)
+
+    def serving_program(raw_u8):
+        x = preprocess_for_eval(raw_u8, dtype=jnp.bfloat16)
+        logits, _ = engine(x)
+        return logits.astype(jnp.float32).sum()
+
+    results = []
+
+    def _record(opts, seconds):
+        ips = args.batch_size * args.steps / seconds
+        results.append({"options": opts, "images_per_sec": round(ips, 1)})
+        logging.info("candidate %s: %.1f img/s", json.dumps(opts), ips)
+
+    best = compile_opts.autotune(
+        serving_program, (raw,), candidates=candidates, steps=args.steps,
+        repeats=args.repeats, cache_path=args.cache or None,
+        key=f"serving/{args.engine}/b{args.batch_size}", on_result=_record)
+    print(json.dumps({
+        "engine": args.engine, "batch_size": args.batch_size,
+        "best_options": best,
+        "best_images_per_sec": max(r["images_per_sec"] for r in results),
+        "candidates_measured": len(results),
+        "apply_hint": f"export TET_COMPILER_OPTIONS='{json.dumps(best)}'",
+        "results": results,
+    }))
+    return 0
+
+
 def cmd_scrape(args) -> int:
     from tumblr_emotions_tpu.data.scraper import make_pytumblr_client, scrape_all
 
@@ -772,6 +850,22 @@ def main(argv=None) -> int:
     p.add_argument("--embed-dim", type=int, default=200)
     p.add_argument("--steps", type=int, default=20_000)
     p.set_defaults(fn=cmd_train_embeddings)
+
+    p = sub.add_parser("tune")
+    p.add_argument("--engine", choices=["int8", "bf16"], default="int8")
+    p.add_argument("--batch-size", type=int, default=768)
+    p.add_argument("--image-size", type=int, default=347,
+                   help="decoded-JPEG size fed to the 0.875 crop")
+    p.add_argument("--steps", type=int, default=8)
+    p.add_argument("--repeats", type=int, default=3)
+    p.add_argument("--cache", default=".tet_tune.json",
+                   help="JSON cache path ('' to disable)")
+    p.add_argument("--candidates", default="",
+                   help="JSON file with a list of flag->value objects "
+                        "(default: the built-in ladder)")
+    p.add_argument("--depth-multiplier", type=float, default=1.0,
+                   help="tune a reduced-width tower (tests)")
+    p.set_defaults(fn=cmd_tune)
 
     p = sub.add_parser("scrape")
     p.add_argument("--consumer-key", required=True)
