@@ -313,23 +313,34 @@ class Trainer:
         sharded-annotated programs ~200x slower (measured 20.5 s vs 103 ms
         per step).  Multi-device meshes get explicit NamedShardings: params
         replicated, batch split on the data axis, XLA all-reducing grads.
-        """
-        from tumblr_emotions_tpu.utils.compile_opts import tpu_jit
 
+        Train/eval compiles take `train_default_options()` — empty by
+        default, because the serving-tuned flags cost the backward+optimizer
+        program ~4% (interleaved A/B, docs/PERFORMANCE.md); override via
+        TET_TRAIN_COMPILER_OPTIONS.
+        """
+        from tumblr_emotions_tpu.utils.compile_opts import (
+            tpu_jit, train_default_options)
+
+        opts = train_default_options()
         if self.mesh.devices.size == 1:
             self._compiled_train = tpu_jit(self.train_step,
+                                           compiler_options=opts,
                                            donate_argnums=(0,))
-            self._compiled_eval = tpu_jit(self.eval_step)
+            self._compiled_eval = tpu_jit(self.eval_step,
+                                          compiler_options=opts)
             return self
         repl = NamedSharding(self.mesh, P())
         data = NamedSharding(self.mesh, P("data"))
         self._compiled_train = tpu_jit(
             self.train_step,
+            compiler_options=opts,
             in_shardings=(repl, data, repl),
             out_shardings=(repl, repl),
             donate_argnums=(0,))
         self._compiled_eval = tpu_jit(
-            self.eval_step, in_shardings=(repl, data), out_shardings=repl)
+            self.eval_step, compiler_options=opts,
+            in_shardings=(repl, data), out_shardings=repl)
         return self
 
     # -- loops ---------------------------------------------------------------

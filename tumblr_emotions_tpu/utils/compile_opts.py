@@ -50,6 +50,13 @@ DEFAULT_AUTOTUNE_CANDIDATES: List[Dict[str, str]] = [{}] + [
 ]
 
 
+# The serving-tuned flags above COST the train step ~4% (interleaved
+# A/B, twice: plain 111.3/125.1 vs tuned 106.5/116.3 img/s) — the
+# backward+optimizer program has different vmem pressure, so training
+# compiles get no flags by default.  Override via TET_TRAIN_COMPILER_OPTIONS.
+DEFAULT_TRAIN_COMPILER_OPTIONS: Dict[str, str] = {}
+
+
 def default_options() -> Dict[str, str]:
     """The compiler options ``tpu_jit`` applies when none are passed.
 
@@ -58,17 +65,27 @@ def default_options() -> Dict[str, str]:
     for every ``tpu_jit`` call site — serving, trainer, bench — without
     code changes.  An empty JSON object (``{}``) disables the flags.
     """
-    env = os.environ.get("TET_COMPILER_OPTIONS")
+    return _options_from_env("TET_COMPILER_OPTIONS",
+                             DEFAULT_TPU_COMPILER_OPTIONS)
+
+
+def train_default_options() -> Dict[str, str]:
+    """Compiler options for TRAIN-step compiles (none by default; see
+    `DEFAULT_TRAIN_COMPILER_OPTIONS`).  Override: TET_TRAIN_COMPILER_OPTIONS."""
+    return _options_from_env("TET_TRAIN_COMPILER_OPTIONS",
+                             DEFAULT_TRAIN_COMPILER_OPTIONS)
+
+
+def _options_from_env(var: str, default: Dict[str, str]) -> Dict[str, str]:
+    env = os.environ.get(var)
     if env is None:
-        return dict(DEFAULT_TPU_COMPILER_OPTIONS)
+        return dict(default)
     try:
         opts = json.loads(env)
     except ValueError as e:
-        raise ValueError(
-            f"TET_COMPILER_OPTIONS is not valid JSON: {env!r}") from e
+        raise ValueError(f"{var} is not valid JSON: {env!r}") from e
     if not isinstance(opts, dict):
-        raise ValueError(
-            f"TET_COMPILER_OPTIONS must be a JSON object, got: {env!r}")
+        raise ValueError(f"{var} must be a JSON object, got: {env!r}")
     return {str(k): str(v) for k, v in opts.items()}
 
 
