@@ -417,56 +417,32 @@ def cmd_infer(args) -> int:
         "params": variables["params"]["InceptionV3"],
         "batch_stats": variables["batch_stats"]["InceptionV3"]}
 
+    # One served program per model (VERDICT r2 #6): the int8 engine
+    # serves straight from uint8 (int8-GEMM preprocess, no float image
+    # tensor in HBM); the joint model's text branch + fusion head run
+    # inside the SAME program via DeepSentimentModel.fuse.  The program
+    # constructor is shared with `cli serve` (ops.serving.build_forward).
+    from tumblr_emotions_tpu.ops import serving as serving_lib
+    from tumblr_emotions_tpu.parallel import mesh as mesh_lib
+
     if args.engine == "parity":
-        def forward(batch):
-            b = dict(batch)
-            b["image"] = preprocess_for_eval(b["image"], dtype=jnp.float32)
-            _, ep = trainer.forward(variables, b, train=False)
-            return ep["Predictions"]
+        infer_mesh = None  # plain single-device jit, the 1e-4 path
+        runner = serving_lib.build_forward(
+            cfg, trainer, variables, None, engine="parity")
     else:
-        if args.engine == "int8":
-            from tumblr_emotions_tpu.ops.quant import QuantizedInceptionV3
-
-            calib = preprocess_for_eval(
-                jnp.asarray(batches[0]["image"][:64]), dtype=jnp.float32)
-            engine = QuantizedInceptionV3(tower_vars, calib,
-                                          epilogue="shift")
-        else:
-            from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
-
-            engine = FusedInceptionV3(tower_vars, dtype=jnp.bfloat16,
-                                      use_pallas=False)
-
-        # One served program per model (VERDICT r2 #6): the int8 engine
-        # serves straight from uint8 (int8-GEMM preprocess, no float image
-        # tensor in HBM); the joint model's text branch + fusion head run
-        # inside the SAME program via DeepSentimentModel.fuse.
-        from tumblr_emotions_tpu.ops import serving as serving_lib
-        from tumblr_emotions_tpu.parallel import mesh as mesh_lib
-
         devices = jax.devices() if args.dp else jax.devices()[:1]
         infer_mesh = mesh_lib.create_mesh(devices=devices)
-        from_uint8 = args.engine == "int8"
-        if cfg.model == "joint":
-            server = serving_lib.joint_data_parallel_server(
-                engine, trainer.model, variables, infer_mesh,
-                from_uint8=from_uint8)
+        calib = None
+        if args.engine == "int8":
+            calib = preprocess_for_eval(
+                jnp.asarray(batches[0]["image"][:64]), dtype=jnp.float32)
+        runner = serving_lib.build_forward(
+            cfg, trainer, variables, infer_mesh, engine=args.engine,
+            calib_images=calib)
 
-            def forward(batch):
-                return server(batch["image"], batch["tokens"],
-                              batch["lengths"])
-        else:
-            img_server = serving_lib.data_parallel_server(
-                engine, infer_mesh, from_uint8=from_uint8)
-
-            def forward(batch):
-                return img_server(batch["image"])[0]
-
-    if args.engine == "parity":
-        jfwd = jax.jit(forward)
-        infer_mesh = None
-    else:
-        jfwd = forward  # the servers are already jitted
+    def jfwd(batch):
+        return runner(batch.get("image"), batch.get("tokens"),
+                      batch.get("lengths"))
 
     def _feed(b):
         feed = {k: jnp.asarray(v) for k, v in b.items()
@@ -517,6 +493,91 @@ def cmd_infer(args) -> int:
         # tower subtree (for the joint model, variables["...InceptionV3"]).
         summary["quantization_delta"] = quantization_delta(tower_vars, imgs)
     print(json.dumps(summary))
+    return 0
+
+
+def cmd_serve(args) -> int:
+    """Online HTTP serving with TPU micro-batching (server.py).
+
+    Loads the latest checkpoint, builds ONE fixed-shape device program
+    (int8 / bf16 / parity engine, 1- or all-device mesh), and coalesces
+    concurrent POST /predict requests into full batches (padding partial
+    ones, so XLA never recompiles).  The reference has no serving layer;
+    this is the production front half of BASELINE config 4.
+
+    int8 needs --records for a real calibration batch.  --port 0 binds an
+    ephemeral port (printed on stdout as JSON).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+    from tumblr_emotions_tpu.ops import serving as serving_lib
+    from tumblr_emotions_tpu.parallel import mesh as mesh_lib
+    from tumblr_emotions_tpu.server import BatchedPredictor, EmotionHTTPServer
+
+    cfg = _build_config(args)
+    emotions = _load_emotions(args)
+    if args.engine == "int8" and cfg.model != "text" and not args.records:
+        raise SystemExit("--engine int8 needs --records for a real "
+                         "calibration batch (or use bf16/parity)")
+    vocab = _load_vocab(args, cfg) if cfg.model in ("text", "joint") else None
+    B, S = args.serve_batch_size, args.host_size
+    sample = {"label": np.zeros((1,), np.int32)}
+    if cfg.model in ("image", "joint"):
+        sample["image"] = np.zeros((1, S, S, 3), np.uint8)
+    if cfg.model in ("text", "joint"):
+        sample["tokens"] = np.zeros((1, cfg.text.max_len), np.int32)
+        sample["lengths"] = np.ones((1,), np.int32)
+    trainer, state, cfg = _init_trainer_state(args, cfg, vocab, sample)
+    restored = trainer.restore_latest(state)
+    if restored is not None:
+        state = restored
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.engine == "parity" or cfg.model == "text":
+        serve_mesh = None
+        runner = serving_lib.build_forward(cfg, trainer, variables, None,
+                                           engine="parity")
+    else:
+        devices = jax.devices() if args.dp else jax.devices()[:1]
+        serve_mesh = mesh_lib.create_mesh(devices=devices)
+        calib = None
+        if args.engine == "int8":
+            first = next(iter(_make_batches(args, cfg, vocab, train=False)))
+            calib = preprocess_for_eval(jnp.asarray(first["image"][:64]),
+                                        dtype=jnp.float32)
+        runner = serving_lib.build_forward(cfg, trainer, variables,
+                                           serve_mesh, engine=args.engine,
+                                           calib_images=calib)
+
+    predictor = BatchedPredictor(
+        runner, B, host_size=S,
+        needs_image=cfg.model in ("image", "joint"),
+        vocab=vocab, max_len=cfg.text.max_len,
+        max_delay_ms=args.max_delay_ms,
+        decode_threads=cfg.data.num_workers, emotions=emotions)
+    # Pay the compile before accepting traffic.
+    warm_img = (np.zeros((B, S, S, 3), np.uint8)
+                if cfg.model in ("image", "joint") else None)
+    warm_tok = (np.zeros((B, cfg.text.max_len), np.int32)
+                if vocab is not None else None)
+    warm_len = np.ones((B,), np.int32) if vocab is not None else None
+    np.asarray(runner(warm_img, warm_tok, warm_len))
+
+    httpd = EmotionHTTPServer(predictor, host=args.host, port=args.port,
+                              request_timeout=args.request_timeout)
+    print(json.dumps({"serving": True, "host": httpd.server_address[0],
+                      "port": httpd.server_address[1],
+                      "engine": args.engine, "model": cfg.model,
+                      "batch_size": B, "max_delay_ms": args.max_delay_ms}),
+          flush=True)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        httpd.close()
     return 0
 
 
@@ -814,6 +875,24 @@ def main(argv=None) -> int:
                    help="serve data-parallel over all local devices "
                         "(batch size must divide the device count)")
     p.set_defaults(fn=cmd_infer)
+
+    p = sub.add_parser("serve")
+    _add_common(p)
+    p.add_argument("--engine", choices=["int8", "bf16", "parity"],
+                   default="int8")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080,
+                   help="0 binds an ephemeral port (printed as JSON)")
+    p.add_argument("--serve-batch-size", type=int, default=64,
+                   help="fixed device batch size (partial batches padded)")
+    p.add_argument("--max-delay-ms", type=float, default=5.0,
+                   help="max micro-batching wait after the first request")
+    p.add_argument("--host-size", type=int, default=347,
+                   help="host-side decoded/resized image side")
+    p.add_argument("--request-timeout", type=float, default=60.0)
+    p.add_argument("--dp", action="store_true",
+                   help="shard serving batches over all local devices")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("parity")
     p.add_argument("--warmstart", required=True,

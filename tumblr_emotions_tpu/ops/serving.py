@@ -84,6 +84,80 @@ def data_parallel_server(engine, mesh,
     return tpu_jit(body, in_shardings=(data,), out_shardings=(data, data))
 
 
+def build_forward(cfg, trainer, variables, mesh, engine: str = "int8",
+                  calib_images=None) -> Callable:
+    """One constructor for every served program shape.
+
+    Returns ``runner(image_u8, tokens, lengths) -> probs [B, C]`` over the
+    model described by ``cfg`` (image / joint / text) and the chosen
+    ``engine`` ("int8" quantized, "bf16" BN-folded, "parity" f32 Flax) —
+    shared by ``cli infer``, ``cli serve`` and
+    :class:`tumblr_emotions_tpu.server.BatchedPredictor`.  Unused inputs
+    are passed as None.  ``calib_images`` (f32, preprocessed, [N,299,299,3])
+    calibrates the int8 engine's activation scales.
+    """
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+
+    if cfg.model == "text" or engine == "parity":
+        size = cfg.image.image_size
+
+        def body(image, tokens, lengths):
+            batch = {}
+            if image is not None:
+                batch["image"] = preprocess_for_eval(
+                    image, size, size,
+                    central_fraction=cfg.data.eval_central_crop,
+                    resize_method=cfg.data.resize_method,
+                    dtype=jnp.float32)
+            if tokens is not None:
+                batch["tokens"] = tokens
+                if lengths is None:
+                    lengths = jnp.sum(
+                        (tokens != cfg.text.pad_id).astype(jnp.int32), -1)
+                batch["lengths"] = lengths
+            _, ep = trainer.forward(variables, batch, train=False)
+            return ep["Predictions"]
+
+        return tpu_jit(body)
+
+    tower_vars = variables if cfg.model == "image" else {
+        "params": variables["params"]["InceptionV3"],
+        "batch_stats": variables["batch_stats"]["InceptionV3"]}
+    if engine == "int8":
+        from tumblr_emotions_tpu.ops.quant import QuantizedInceptionV3
+
+        if calib_images is None:
+            raise ValueError("int8 serving needs calib_images (a "
+                             "preprocessed f32 calibration batch)")
+        eng = QuantizedInceptionV3(tower_vars, calib_images,
+                                   epilogue="shift")
+        from_uint8 = True
+    elif engine == "bf16":
+        from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
+
+        eng = FusedInceptionV3(tower_vars, dtype=jnp.bfloat16,
+                               use_pallas=False)
+        from_uint8 = False
+    else:
+        raise ValueError(f"unknown engine {engine!r}; "
+                         "expected int8|bf16|parity")
+
+    if cfg.model == "joint":
+        server = joint_data_parallel_server(eng, trainer.model, variables,
+                                            mesh, from_uint8=from_uint8)
+
+        def runner(image, tokens, lengths):
+            if lengths is None:
+                lengths = jnp.sum(
+                    (tokens != cfg.text.pad_id).astype(jnp.int32), -1)
+            return server(image, tokens, lengths)
+
+        return runner
+
+    img_server = data_parallel_server(eng, mesh, from_uint8=from_uint8)
+    return lambda image, tokens, lengths: img_server(image)[0]
+
+
 def joint_data_parallel_server(engine, model, variables, mesh,
                                preprocess_dtype=jnp.bfloat16,
                                from_uint8: bool = False
