@@ -183,3 +183,66 @@ def test_hsv_color_ops_match_tf():
     hue = np.asarray(pp.hsv_to_rgb(hsv.at[..., 0].set((hsv[..., 0] + 0.13) % 1.0)))
     np.testing.assert_allclose(
         hue, tf.image.adjust_hue(tf.constant(img), 0.13).numpy(), atol=2e-6)
+
+
+@pytest.mark.parametrize("method", ["tf1", "nearest", "bicubic", "area"])
+def test_crop_resize_batch_matches_per_image_taps(method):
+    """The batched dense-matrix crop+resize (MXU path) against the
+    TF-verified per-image tap form, per-image crops + folded flip."""
+    import jax
+
+    rng = np.random.RandomState(1)
+    imgs = jnp.asarray(rng.rand(4, 120, 150, 3).astype(np.float32))
+    oy = jnp.asarray([0, 10, 3, 40], jnp.int32)
+    ox = jnp.asarray([0, 7, 90, 20], jnp.int32)
+    ch = jnp.asarray([120, 100, 64, 33], jnp.int32)
+    cw = jnp.asarray([150, 80, 60, 47], jnp.int32)
+    flip = jnp.asarray([False, True, False, True])
+
+    batch = np.asarray(pp._crop_resize_batch(
+        imgs, oy, ox, ch, cw, 99, 111, method, flip=flip))
+    ref = np.asarray(jax.vmap(lambda im, a, b, c, d: pp._crop_resize_one(
+        im, a, b, c, d, 99, 111, method))(imgs, oy, ox, ch, cw))
+    ref = np.where(np.asarray(flip)[:, None, None, None],
+                   ref[:, :, ::-1, :], ref)
+    np.testing.assert_allclose(batch, ref, atol=2e-5, rtol=0)
+
+
+def test_crop_resize_batch_uint8_scale_fold():
+    """in_scale folds the /255 into the matrix; equals dividing first."""
+    rng = np.random.RandomState(2)
+    raw = jnp.asarray(rng.randint(0, 256, (3, 90, 90, 3), dtype=np.uint8))
+    oy = ox = jnp.zeros((3,), jnp.int32)
+    ch = cw = jnp.asarray([90, 70, 45], jnp.int32)
+    a = np.asarray(pp._crop_resize_batch(raw, oy, ox, ch, cw, 64, 64,
+                                         "tf1", in_scale=1.0 / 255.0))
+    b = np.asarray(pp._crop_resize_batch(
+        raw.astype(jnp.float32) / 255.0, oy, ox, ch, cw, 64, 64, "tf1"))
+    np.testing.assert_allclose(a, b, atol=1e-6, rtol=0)
+
+
+@pytest.mark.parametrize("factor", [0.5, 0.7, 1.0, 1.3, 2.5])
+def test_elementwise_saturation_matches_tf(factor):
+    """_saturate (no HSV round trip) vs tf.image.adjust_saturation,
+    including the s*f > 1 clipping regime (factor 2.5)."""
+    rng = np.random.RandomState(3)
+    img = rng.rand(31, 17, 3).astype(np.float32)
+    img[0, 0] = [0.5, 0.5, 0.5]   # gray: d == 0 edge
+    img[0, 1] = [0.0, 0.0, 0.0]   # black
+    img[0, 2] = [1.0, 0.0, 0.0]   # fully saturated
+    ours = np.asarray(pp._saturate(jnp.asarray(img), jnp.float32(factor)))
+    theirs = tf.image.adjust_saturation(tf.constant(img), factor).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-6, rtol=0)
+
+
+def test_preprocess_for_train_fast_mode_brightness_saturation_ranges():
+    """Fast-mode color distortion stays within the slim envelope: output in
+    [-1, 1] and images differ across the batch (random crops + colors)."""
+    import jax
+
+    out = np.asarray(pp.preprocess_for_train(
+        jax.random.PRNGKey(7), jnp.asarray(_rand_images(6, 96, 128, 5)),
+        64, 64))
+    assert out.shape == (6, 64, 64, 3)
+    assert out.min() >= -1.0 - 1e-5 and out.max() <= 1.0 + 1e-5
+    assert len({float(out[i].mean()) for i in range(6)}) == 6

@@ -300,6 +300,97 @@ def _crop_resize_one(image: jax.Array, oy, ox, ch, cw, height: int, width: int,
     return jnp.einsum("opkc,pk->opc", cols, xw)
 
 
+def _crop_resize_matrix(out_size: int, off: jax.Array, size: jax.Array,
+                        in_size: int, method: str) -> jax.Array:
+    """Dense [N, out_size, in_size] interpolation matrices for per-image
+    dynamic crop+resize — the linear-operator form of ``_axis_taps``.
+
+    TPU-first: gathers with per-image indices don't touch the MXU and
+    measured ~15x slower than the whole fwd+bwd pass; expressing the SAME
+    taps as dense matrices built elementwise (bilinear weight at column i
+    is just ``relu(1 - |i - src(o)|)``) turns the resize into two batched
+    MXU matmuls.  ``off``/``size`` are [N] traced crop params; weights are
+    identical to the tap form (same f32 grid math), so the method-vs-TF
+    parity tests transfer.
+    """
+    n = off.shape[0]
+    scale = size.astype(jnp.float32) / out_size                    # [N]
+    o = jnp.arange(out_size, dtype=jnp.float32)                    # [out]
+    i = jnp.arange(in_size, dtype=jnp.float32)                     # [in]
+    offf = off.astype(jnp.float32)
+
+    if method in ("tf1", "half_pixel", "bilinear"):
+        src = o[None, :] * scale[:, None]
+        if method == "half_pixel":
+            src = (o[None, :] + 0.5) * scale[:, None] - 0.5
+        src = jnp.clip(src, 0.0, size.astype(jnp.float32)[:, None] - 1.0)
+        src = src + offf[:, None]                                  # [N,out]
+        return jnp.maximum(0.0, 1.0 - jnp.abs(i[None, None, :]
+                                              - src[:, :, None]))
+
+    if method == "nearest":
+        idx = jnp.minimum(jnp.floor(o[None, :] * scale[:, None]),
+                          size.astype(jnp.float32)[:, None] - 1)
+        idx = idx + offf[:, None]
+        return (i[None, None, :] == idx[:, :, None]).astype(jnp.float32)
+
+    if method == "bicubic":
+        a = -0.75
+        src = o[None, :] * scale[:, None]                          # [N,out]
+        p = jnp.floor(src)
+        t = src - p
+
+        def edge(s):
+            return ((a * s - 5.0 * a) * s + 8.0 * a) * s - 4.0 * a
+
+        def center(s):
+            return ((a + 2.0) * s - (a + 3.0)) * s * s + 1.0
+
+        wts = [edge(1.0 + t), center(t), center(1.0 - t), edge(2.0 - t)]
+        hi = size.astype(jnp.float32)[:, None] - 1.0
+        m = jnp.zeros((n, out_size, in_size), jnp.float32)
+        for k in range(4):  # accumulate [N,out,in] per tap: no K axis in HBM
+            tap = jnp.clip(p + (k - 1), 0.0, hi) + offf[:, None]
+            m = m + wts[k][:, :, None] * (
+                i[None, None, :] == tap[:, :, None]).astype(jnp.float32)
+        return m
+
+    if method == "area":
+        start = o[None, :] * scale[:, None]                        # [N,out]
+        end = (o[None, :] + 1.0) * scale[:, None]
+        i_rel = i[None, None, :] - offf[:, None, None]             # [N,1,in]
+        overlap = (jnp.minimum(i_rel + 1.0, end[:, :, None])
+                   - jnp.maximum(i_rel, start[:, :, None]))
+        return jnp.clip(overlap, 0.0, None) / scale[:, None, None]
+
+    raise ValueError(f"unknown resize method {method!r}")
+
+
+def _crop_resize_batch(images: jax.Array, oy, ox, ch, cw,
+                       height: int, width: int, method: str,
+                       flip: jax.Array = None, in_scale: float = 1.0,
+                       dtype: jnp.dtype = jnp.float32) -> jax.Array:
+    """Batched dynamic crop+resize as two MXU einsums; [N,H,W,C] ->
+    [N,height,width,C].  ``flip`` ([N] bool) reverses output columns by
+    row-reversing the width matrix (a permutation — bitwise-identical to
+    flipping afterwards, but free).  ``in_scale`` folds the uint8 ->
+    [0,1] division into the row matrix, saving a full-resolution
+    elementwise pass."""
+    n, h, w, c = images.shape
+    my = _crop_resize_matrix(height, oy, ch, h, method)
+    mx = _crop_resize_matrix(width, ox, cw, w, method)
+    if flip is not None:
+        mx = jnp.where(flip[:, None, None], mx[:, ::-1, :], mx)
+    if in_scale != 1.0:
+        my = my * jnp.float32(in_scale)
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    x = images.astype(dtype)
+    x = jnp.einsum("noh,nhwc->nowc", my.astype(dtype), x, precision=prec)
+    x = jnp.einsum("npw,nowc->nopc", mx.astype(dtype), x, precision=prec)
+    return x
+
+
 def preprocess_for_train(rng: jax.Array, images: jax.Array,
                          height: int = 299, width: int = 299,
                          resize_method: str = "tf1",
@@ -313,33 +404,122 @@ def preprocess_for_train(rng: jax.Array, images: jax.Array,
     method; full mode rotates the resize through slim's 4
     ``apply_with_random_selector`` cases (bilinear / nearest / bicubic /
     area) chosen uniformly per image.
+
+    All stages are batched and elementwise/MXU (no per-image gathers, no
+    HSV round trips in fast mode) — measured 15x faster fused into the
+    train step than the per-image gather form (docs/PERFORMANCE.md).
     """
     n, h, w, c = images.shape
-    x = images.astype(dtype)
-    if jnp.issubdtype(images.dtype, jnp.integer):
-        x = x / jnp.asarray(255.0, dtype)
+    r_crop, r_resize, r_flip, r_color = jax.random.split(rng, 4)
+
+    oy, ox, ch, cw = jax.vmap(
+        lambda k: distorted_bounding_box_crop(k, (h, w)))(
+            jax.random.split(r_crop, n))
+    flip = jax.random.bernoulli(r_flip, shape=(n,))
+    in_scale = (1.0 / 255.0
+                if jnp.issubdtype(images.dtype, jnp.integer) else 1.0)
 
     resize_cases = ([resize_method] if fast_mode
                     else [resize_method, "nearest", "bicubic", "area"])
+    if len(resize_cases) == 1:
+        x = _crop_resize_batch(images, oy, ox, ch, cw, height, width,
+                               resize_cases[0], flip=flip,
+                               in_scale=in_scale, dtype=dtype)
+    else:
+        # Per-image method choice selects between the (cheap) [N,out,in]
+        # MATRICES, not between 4 resized outputs.
+        case = jax.random.randint(r_resize, (n,), 0, len(resize_cases))
+        mys, mxs = [], []
+        for m in resize_cases:
+            mys.append(_crop_resize_matrix(height, oy, ch, h, m))
+            mxs.append(_crop_resize_matrix(width, ox, cw, w, m))
+        sel = lambda ms: jnp.select(
+            [case[:, None, None] == k for k in range(len(ms))], ms)
+        my, mx = sel(mys), sel(mxs)
+        mx = jnp.where(flip[:, None, None], mx[:, ::-1, :], mx)
+        my = my * jnp.float32(in_scale)
+        prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+                else jax.lax.Precision.DEFAULT)
+        x = images.astype(dtype)
+        x = jnp.einsum("noh,nhwc->nowc", my.astype(dtype), x,
+                       precision=prec)
+        x = jnp.einsum("npw,nowc->nopc", mx.astype(dtype), x,
+                       precision=prec)
 
-    def one(rng, img):
-        r_crop, r_resize, r_flip, r_color, r_order = jax.random.split(rng, 5)
-        oy, ox, ch, cw = distorted_bounding_box_crop(r_crop, (h, w))
-        if len(resize_cases) == 1:
-            img = _crop_resize_one(img, oy, ox, ch, cw, height, width,
-                                   resize_cases[0])
-        else:
-            branches = [
-                (lambda m: lambda im: _crop_resize_one(
-                    im, oy, ox, ch, cw, height, width, m))(m)
-                for m in resize_cases]
-            case = jax.random.randint(r_resize, (), 0, len(branches))
-            img = jax.lax.switch(case, branches, img)
-        img = jnp.where(jax.random.bernoulli(r_flip), img[:, ::-1, :], img)
-        img = distort_color(r_color, r_order, img, fast_mode=fast_mode)
-        return jnp.clip(img, 0.0, 1.0) * 2.0 - 1.0
+    if fast_mode:
+        x = _distort_color_fast_batch(r_color, x)
+    else:
+        x = _distort_color_full_batch(r_color, x)
+    return jnp.clip(x, 0.0, 1.0) * 2.0 - 1.0
 
-    return jax.vmap(one)(jax.random.split(rng, n), x)
+
+def _saturate(img: jax.Array, factor: jax.Array) -> jax.Array:
+    """tf.image.adjust_saturation as pure elementwise math (no HSV round
+    trip): scaling s by f in HSV keeps value mx and hue fixed, so every
+    channel moves toward mx by the chroma ratio min(f, mx/d) (the min is
+    the s<=1 clip).  Exact — see the TF-match test."""
+    im = jnp.clip(img, 0.0, 1.0)
+    mx = jnp.max(im, axis=-1, keepdims=True)
+    d = mx - jnp.min(im, axis=-1, keepdims=True)
+    ratio = jnp.minimum(factor, mx / jnp.where(d > 0, d, 1.0))
+    return jnp.where(d > 0, mx - ratio * (mx - im), im)
+
+
+def _distort_color_fast_batch(rng: jax.Array, x: jax.Array) -> jax.Array:
+    """Batched slim fast-mode color distortion: per-image random
+    brightness delta + saturation factor, in one of the two orders."""
+    n = x.shape[0]
+    r_b, r_s, r_o = jax.random.split(rng, 3)
+    delta = jax.random.uniform(r_b, (n, 1, 1, 1), minval=-32.0 / 255.0,
+                               maxval=32.0 / 255.0).astype(x.dtype)
+    factor = jax.random.uniform(r_s, (n, 1, 1, 1), minval=0.5,
+                                maxval=1.5).astype(x.dtype)
+    order = jax.random.bernoulli(r_o, shape=(n, 1, 1, 1))
+    a = _saturate(x + delta, factor)           # bright then saturate
+    b = _saturate(x, factor) + delta           # saturate then bright
+    return jnp.where(order, a, b)
+
+
+def _hue_rotate(img: jax.Array, delta: jax.Array) -> jax.Array:
+    """tf.image.adjust_hue with a per-image [N,1,1] delta, elementwise."""
+    hsv = rgb_to_hsv(jnp.clip(img, 0.0, 1.0))
+    h = (hsv[..., 0] + delta) % 1.0
+    return hsv_to_rgb(jnp.stack([h, hsv[..., 1], hsv[..., 2]], axis=-1))
+
+
+def _contrast(img: jax.Array, factor: jax.Array) -> jax.Array:
+    mean = jnp.mean(img, axis=(-3, -2), keepdims=True)
+    return mean + (img - mean) * factor
+
+
+def _distort_color_full_batch(rng: jax.Array, x: jax.Array) -> jax.Array:
+    """Batched slim full-mode color distortion: brightness / saturation /
+    hue / contrast in one of 4 orders per image.  All four order chains
+    are computed elementwise and selected — under vmap+switch all branches
+    execute anyway, but the per-image HSV/scatter form measured ~8 s/batch
+    where this takes milliseconds (docs/PERFORMANCE.md)."""
+    n = x.shape[0]
+    r_b, r_s, r_h, r_c, r_o = jax.random.split(rng, 5)
+    delta = jax.random.uniform(r_b, (n, 1, 1, 1), minval=-32.0 / 255.0,
+                               maxval=32.0 / 255.0).astype(x.dtype)
+    sat_f = jax.random.uniform(r_s, (n, 1, 1, 1), minval=0.5,
+                               maxval=1.5).astype(x.dtype)
+    hue_d = jax.random.uniform(r_h, (n, 1, 1), minval=-0.2,
+                               maxval=0.2).astype(x.dtype)
+    con_f = jax.random.uniform(r_c, (n, 1, 1, 1), minval=0.5,
+                               maxval=1.5).astype(x.dtype)
+    case = jax.random.randint(r_o, (n, 1, 1, 1), 0, 4)
+
+    bright = lambda im: im + delta
+    sat = lambda im: _saturate(im, sat_f)
+    hue = lambda im: _hue_rotate(im, hue_d)
+    con = lambda im: _contrast(im, con_f)
+
+    chains = [con(hue(sat(bright(x)))),
+              hue(con(bright(sat(x)))),
+              bright(sat(con(hue(x)))),
+              sat(bright(con(hue(x))))]
+    return jnp.select([case == k for k in range(3)], chains[:3], chains[3])
 
 
 def rgb_to_hsv(img: jax.Array) -> jax.Array:
@@ -359,19 +539,21 @@ def rgb_to_hsv(img: jax.Array) -> jax.Array:
 
 
 def hsv_to_rgb(img: jax.Array) -> jax.Array:
-    """HSV [..., 3] -> RGB, matching tf.image.hsv_to_rgb."""
+    """HSV [..., 3] -> RGB, matching tf.image.hsv_to_rgb.
+
+    Select chains, not ``jnp.choose`` — choose lowers to a gather, which
+    is catastrophically slow on TPU inside a vmapped/batched pipeline."""
     h, s, v = img[..., 0], img[..., 1], img[..., 2]
     c = s * v
     m = v - c
     dh = (h % 1.0) * 6.0
     x = c * (1.0 - jnp.abs(dh % 2.0 - 1.0))
     idx = dh.astype(jnp.int32) % 6
-    r = jnp.choose(idx, [c, x, jnp.zeros_like(c), jnp.zeros_like(c), x, c],
-                   mode="clip")
-    g = jnp.choose(idx, [x, c, c, x, jnp.zeros_like(c), jnp.zeros_like(c)],
-                   mode="clip")
-    b = jnp.choose(idx, [jnp.zeros_like(c), jnp.zeros_like(c), x, c, c, x],
-                   mode="clip")
+    z = jnp.zeros_like(c)
+    sectors = [idx == k for k in range(5)]  # sector 5 is each select's default
+    r = jnp.select(sectors, [c, x, z, z, x], c)
+    g = jnp.select(sectors, [x, c, c, x, z], z)
+    b = jnp.select(sectors, [z, z, x, c, c], x)
     return jnp.stack([r + m, g + m, b + m], axis=-1)
 
 

@@ -358,15 +358,19 @@ class Trainer:
         profiler = ProfilerHook(t.log_dir or "/tmp/tumblr_emotions_trace",
                                 t.profile_start_step, t.profile_num_steps)
         last_t = time.perf_counter()
-        last_step = int(state.step)
+        # Track the step on the HOST: reading state.step back each
+        # iteration would block on the previous step's device execution
+        # and serialize the dispatch pipeline (it increments by exactly 1
+        # per train_step, so the mirror stays consistent).
+        step = last_step = int(state.step)
         try:
             for _ in range(num_steps):
                 try:
                     batch = next(it)
                 except StopIteration:
-                    log.info("input exhausted at step %d", int(state.step))
+                    log.info("input exhausted at step %d", step)
                     break
-                step_next = int(state.step) + 1
+                step_next = step + 1
                 profiler.maybe_start(step_next)
                 batch = mesh_lib.shard_batch(self.mesh, batch)
                 state, m = self._compiled_train(state, batch, rng)
