@@ -150,3 +150,23 @@ def test_tune_rejects_bad_candidates_file(tmp_path):
         json.dump({"not": "a list"}, f)
     with pytest.raises(SystemExit, match="candidates"):
         cli.main(["tune", "--candidates", bad])
+
+
+def test_cli_tune_train_step(tmp_path, capsys):
+    """--step train sweeps the jitted train step and prints the
+    TET_TRAIN_COMPILER_OPTIONS apply hint + a JSON cache entry."""
+    cand = str(tmp_path / "cands.json")
+    with open(cand, "w") as f:
+        json.dump([{}], f)  # only the empty candidate: fast on CPU
+    cache = str(tmp_path / "tune.json")
+    rc = cli.main(["tune", "--step", "train", "--batch-size", "2",
+                   "--image-size", "96", "--depth-multiplier", "0.25",
+                   "--steps", "1", "--repeats", "1",
+                   "--cache", cache, "--candidates", cand])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["step"] == "train"
+    assert out["candidates_measured"] == 1
+    assert "TET_TRAIN_COMPILER_OPTIONS" in out["apply_hint"]
+    with open(cache) as f:
+        assert "train/joint/b2" in json.load(f)

@@ -168,3 +168,30 @@ def test_trainable_scope_matching_is_segment_based():
     assert np.any(np.asarray(updates["Logits/Conv2d_1c_1x1"]["weights"]) != 0)
     assert np.all(np.asarray(updates["AuxLogits/Conv2d_2b_1x1"]["weights"]) == 0)
     assert np.all(np.asarray(updates["Conv2d_1a_3x3"]["weights"]) == 0)
+
+
+def test_stop_frozen_gradients_cuts_frozen_leaves():
+    """Frozen leaves get ZERO gradients (so XLA can dead-code their
+    backward), trainable leaves keep real ones; structure unchanged."""
+    from tumblr_emotions_tpu.train.trainer import stop_frozen_gradients
+
+    params = {
+        "Logits": {"kernel": jnp.ones((3,))},
+        "AuxLogits": {"kernel": jnp.ones((3,))},
+        "Conv2d_1a_3x3": {"weights": jnp.ones((3,))},
+    }
+
+    def loss(p):
+        masked = stop_frozen_gradients(p, "Logits")
+        return sum(jnp.sum(v ** 2) for leaf in masked.values()
+                   for v in leaf.values())
+
+    grads = jax.grad(loss)(params)
+    assert np.all(np.asarray(grads["Logits"]["kernel"]) == 2.0)
+    assert np.all(np.asarray(grads["AuxLogits"]["kernel"]) == 0.0)
+    assert np.all(np.asarray(grads["Conv2d_1a_3x3"]["weights"]) == 0.0)
+    # No scopes: identity (no masking applied).
+    g2 = jax.grad(lambda p: sum(jnp.sum(stop_frozen_gradients(p, "")[k]
+                                        [kk] ** 2)
+                                for k in p for kk in p[k]))(params)
+    assert np.all(np.asarray(g2["Conv2d_1a_3x3"]["weights"]) == 2.0)

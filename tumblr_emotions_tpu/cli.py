@@ -740,15 +740,19 @@ def cmd_train_embeddings(args) -> int:
 
 
 def cmd_tune(args) -> int:
-    """Autotune XLA compiler options for the fused serving program.
+    """Autotune XLA compiler options for the fused serving program, or
+    (``--step train``) for the jitted train step.
 
-    Builds the same [preprocess -> engine forward] program bench.py and
-    `cli infer` serve, sweeps the candidate compiler-option ladder on the
-    local backend (utils/compile_opts.autotune), and persists the winner
-    to a JSON cache.  Export the printed options via TET_COMPILER_OPTIONS
-    to apply them to every tpu_jit call site (serving, trainer, bench)
-    without code changes.  Candidates the backend rejects (e.g. TPU flags
-    on CPU) are skipped automatically, so the sweep is safe anywhere.
+    Builds the same program bench.py / `cli infer` / the Trainer compile,
+    sweeps the candidate compiler-option ladder on the local backend
+    (utils/compile_opts.autotune), and persists the winner to a JSON
+    cache.  Export the printed options via TET_COMPILER_OPTIONS (serving)
+    or TET_TRAIN_COMPILER_OPTIONS (train) to apply them without code
+    changes.  Candidates the backend rejects (e.g. TPU flags on CPU) are
+    skipped automatically, so the sweep is safe anywhere.  The train
+    sweep times the step WITHOUT buffer donation (autotune replays the
+    same example args), so absolute rates read slightly below production;
+    the ranking carries.
     """
     import jax
     import jax.numpy as jnp
@@ -766,6 +770,56 @@ def cmd_tune(args) -> int:
                 or not all(isinstance(c, dict) for c in candidates)):
             raise SystemExit(f"--candidates {args.candidates} must hold a "
                              "JSON list of flag->value objects")
+
+    if args.step == "train":
+        from tumblr_emotions_tpu.train import Trainer
+
+        cfg = get_preset("joint_finetune")
+        cfg = dataclasses.replace(
+            cfg,
+            image=dataclasses.replace(
+                cfg.image, depth_multiplier=args.depth_multiplier),
+            train=dataclasses.replace(cfg.train,
+                                      batch_size=args.batch_size,
+                                      precision_mode="perf"))
+        rng0 = np.random.RandomState(0)
+        B, src = args.batch_size, args.image_size
+        batch = {
+            "image": rng0.randint(0, 256, (B, src, src, 3), dtype=np.uint8),
+            "tokens": rng0.randint(0, 50, (B, 10)).astype(np.int32),
+            "lengths": np.full(B, 10, np.int32),
+            "label": rng0.randint(0, 15, (B,)).astype(np.int32),
+        }
+        trainer = Trainer(cfg, preprocess="train")
+        state = trainer.init_state(jax.random.PRNGKey(0), batch)
+        dev = {k: jax.device_put(v) for k, v in batch.items()}
+
+        def train_program(state_, batch_, key):
+            _, metrics = trainer.train_step(state_, batch_, key)
+            return metrics["loss"]
+
+        results = []
+
+        def _record(opts, seconds):
+            ips = args.batch_size * args.steps / seconds
+            results.append({"options": opts, "images_per_sec": round(ips, 1)})
+            logging.info("candidate %s: %.1f img/s", json.dumps(opts), ips)
+
+        best = compile_opts.autotune(
+            train_program, (state, dev, jax.random.PRNGKey(1)),
+            candidates=candidates, steps=args.steps, repeats=args.repeats,
+            cache_path=args.cache or None,
+            key=f"train/joint/b{args.batch_size}", on_result=_record)
+        print(json.dumps({
+            "step": "train", "batch_size": args.batch_size,
+            "best_options": best,
+            "best_images_per_sec": max(r["images_per_sec"] for r in results),
+            "candidates_measured": len(results),
+            "apply_hint":
+                f"export TET_TRAIN_COMPILER_OPTIONS='{json.dumps(best)}'",
+            "results": results,
+        }))
+        return 0
 
     cfg = get_preset("fused_inference")
     if args.depth_multiplier != 1.0:
@@ -931,6 +985,7 @@ def main(argv=None) -> int:
     p.set_defaults(fn=cmd_train_embeddings)
 
     p = sub.add_parser("tune")
+    p.add_argument("--step", choices=["serving", "train"], default="serving")
     p.add_argument("--engine", choices=["int8", "bf16"], default="int8")
     p.add_argument("--batch-size", type=int, default=768)
     p.add_argument("--image-size", type=int, default=347,

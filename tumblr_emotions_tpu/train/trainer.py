@@ -138,25 +138,49 @@ def make_optimizer(cfg: Config, params=None) -> optax.GradientTransformation:
     if t.grad_clip_norm > 0:
         opt = optax.chain(optax.clip_by_global_norm(t.grad_clip_norm), opt)
     if t.trainable_scopes and params is not None:
-        scopes = tuple(s.strip() for s in t.trainable_scopes.split(",") if s.strip())
-
-        def label(path: Tuple[str, ...]) -> str:
-            # slim-style scope matching on path-segment boundaries ("Logits"
-            # must NOT match "AuxLogits"); flax keys may contain "/", so
-            # split the joined path back into segments.
-            segs = "/".join(path).split("/")
-            joined = "/".join(segs)
-            ok = any(
-                joined == s or joined.startswith(s + "/")
-                or f"/{s}/" in f"/{joined}/"
-                for s in scopes)
-            return "train" if ok else "freeze"
-
+        scopes = _parse_scopes(t.trainable_scopes)
         labels = traverse_util.path_aware_map(
-            lambda p, _: label(p), params)
+            lambda p, _: "train" if _path_in_scopes(p, scopes) else "freeze",
+            params)
         opt = optax.multi_transform(
             {"train": opt, "freeze": optax.set_to_zero()}, labels)
     return opt
+
+
+def _parse_scopes(trainable_scopes: str) -> Tuple[str, ...]:
+    return tuple(s.strip() for s in trainable_scopes.split(",") if s.strip())
+
+
+def _path_in_scopes(path: Tuple[str, ...], scopes: Tuple[str, ...]) -> bool:
+    # slim-style scope matching on path-segment boundaries ("Logits"
+    # must NOT match "AuxLogits"); flax keys may contain "/", so
+    # split the joined path back into segments.
+    joined = "/".join("/".join(path).split("/"))
+    return any(joined == s or joined.startswith(s + "/")
+               or f"/{s}/" in f"/{joined}/"
+               for s in scopes)
+
+
+def stop_frozen_gradients(params, trainable_scopes: str):
+    """``lax.stop_gradient`` on every param leaf OUTSIDE trainable_scopes.
+
+    Optimizer masking (``set_to_zero``) already keeps frozen params fixed;
+    cutting the gradient at the leaves makes the dead-coding of the frozen
+    backward EXPLICIT instead of relying on XLA noticing that
+    ``set_to_zero`` discards those grads.  Measured on v5e (image_frozen,
+    B=256): neutral — 59.6 vs 59.4 ms/step — i.e. XLA's DCE already
+    eliminates the frozen tower backward either way (ledger entry in
+    docs/PERFORMANCE.md).  Kept because the guarantee should not depend on
+    a whole-program DCE pass seeing through optax internals.
+    Gradient STRUCTURE is unchanged: frozen leaves get zeros, exactly what
+    the masked optimizer expects.
+    """
+    if not trainable_scopes:
+        return params
+    scopes = _parse_scopes(trainable_scopes)
+    return traverse_util.path_aware_map(
+        lambda p, v: v if _path_in_scopes(p, scopes)
+        else jax.lax.stop_gradient(v), params)
 
 
 def l2_regularization(params, weight_decay: float) -> jax.Array:
@@ -278,7 +302,9 @@ class Trainer:
         rng_pp, rng_drop = jax.random.split(jax.random.fold_in(rng, state.step))
         batch = self._maybe_preprocess(batch, True, rng_pp)
         grad_fn = jax.value_and_grad(
-            lambda p: self._loss_fn(p, state.batch_stats, batch, rng_drop, True),
+            lambda p: self._loss_fn(
+                stop_frozen_gradients(p, self.cfg.train.trainable_scopes),
+                state.batch_stats, batch, rng_drop, True),
             has_aux=True)
         (loss, (logits, new_stats)), grads = grad_fn(state.params)
         updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
