@@ -26,6 +26,69 @@ import time
 import numpy as np
 
 
+def _setup_on_device(model, batch, src, calib_n=64):
+    """One jitted program building everything the bench needs on device.
+
+    The remote-TPU compile service of this sandbox charges 1-4 MINUTES per
+    compile on bad days and the host->device data path has been observed at
+    0.6 MB/s, so setup must (a) never ship big host arrays, (b) spend as few
+    compiles as possible.  This returns (variables, [4 uint8 batches],
+    calibration images) from a single compile:
+
+    - variables: eval_shape of ``model.init`` gives the pytree structure
+      without tracing a device program; leaves are filled from one flat
+      normal draw with He/variance scaling (kernels), zeros (bias/beta/
+      means), ones (scales/variances).  Weight VALUES don't affect a
+      throughput bench; the int8 engine calibrates its activation scales
+      off whatever weights it gets.
+    - batches: 4 distinct device-resident uint8 [B,src,src,3] batches.
+    - calib: the eval-preprocessed first ``calib_n`` images (f32), input
+      for the engine's activation-range calibration pass.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+
+    shapes = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 299, 299, 3), jnp.bfloat16),
+                           train=False))
+    paths_leaves, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+    sizes = [max(1, int(np.prod(s.shape))) for _, s in paths_leaves]
+    total = sum(sizes)
+
+    def _name(path):
+        return "/".join(str(getattr(p, "key", getattr(p, "name", p)))
+                        for p in path).lower()
+
+    def setup(key):
+        kw, kb = jax.random.split(key)
+        pool = jax.random.normal(kw, (total,), jnp.float32)
+        leaves, off = [], 0
+        for (path, s), n in zip(paths_leaves, sizes):
+            name = _name(path)
+            if "var" in name or "scale" in name or "gamma" in name:
+                leaf = jnp.ones(s.shape, s.dtype)
+            elif ("mean" in name or "beta" in name or "bias" in name):
+                leaf = jnp.zeros(s.shape, s.dtype)
+            else:  # conv/dense kernels, embeddings: He fan-in scaling
+                fan_in = max(1, int(np.prod(s.shape[:-1])))
+                leaf = (pool[off:off + n].reshape(s.shape)
+                        * np.sqrt(2.0 / fan_in)).astype(s.dtype)
+            leaves.append(leaf)
+            off += n
+        variables = jax.tree_util.tree_unflatten(treedef, leaves)
+        batches = tuple(
+            jax.random.randint(k, (batch, src, src, 3), 0, 256,
+                               dtype=jnp.uint8)
+            for k in jax.random.split(kb, 4))
+        calib = preprocess_for_eval(batches[0][:calib_n], dtype=jnp.float32)
+        return variables, batches, calib
+
+    return jax.jit(setup)(jax.random.PRNGKey(0))
+
+
 def _measure(fused, dev_batches, batch, steps):
     import jax
     import jax.numpy as jnp
@@ -64,24 +127,16 @@ def main() -> int:
 
     cfg = get_preset("fused_inference")  # bf16 perf mode
     model, _ = build_model(cfg)
-    variables = model.init({"params": jax.random.PRNGKey(0)},
-                           jnp.zeros((1, 299, 299, 3), jnp.bfloat16),
-                           train=False)
-
-    rng = np.random.RandomState(0)
-    # 4 distinct device-resident uint8 batches, cycled: measures the steady
-    # -state on-chip decode-output -> preprocess -> forward pipeline.  (The
-    # tunnel's host->device link here is a sandbox artifact, not v5e PCIe.)
-    # Placement is deliberately UNCOMMITTED: committed arrays hit a ~200x
-    # slow path in this environment's remote-TPU runtime (docs/PERFORMANCE.md).
-    host = [rng.randint(0, 256, size=(batch, src, src, 3), dtype=np.uint8)
-            for _ in range(4)]
-    dev_batches = [jax.device_put(h) for h in host]
+    # Everything on device from ONE compile (see _setup_on_device):
+    # variables, the 4 cycled uint8 batches (placement deliberately
+    # UNCOMMITTED — committed arrays hit a ~200x slow path in this
+    # environment's remote-TPU runtime, docs/PERFORMANCE.md), and the
+    # calibration images.
+    variables, dev_batches, calib = _setup_on_device(model, batch, src)
 
     if which == "int8":
         from tumblr_emotions_tpu.ops.quant import QuantizedInceptionV3
 
-        calib = preprocess_for_eval(dev_batches[0][:64], dtype=jnp.float32)
         engine = QuantizedInceptionV3(variables, calib, epilogue="shift")
     else:
         # Round-1 engine: BN-folded XLA convs, packed 1x1 branches, bf16.
@@ -127,10 +182,12 @@ def main() -> int:
 
         from tumblr_emotions_tpu.data import jpeg
 
+        host0 = np.random.RandomState(0).randint(
+            0, 256, size=(batch, src, src, 3), dtype=np.uint8)
         enc = []
         for i in range(batch):
             buf = io.BytesIO()
-            Image.fromarray(host[0][i]).save(buf, format="JPEG", quality=90)
+            Image.fromarray(host0[i]).save(buf, format="JPEG", quality=90)
             enc.append(buf.getvalue())
 
         decode_steps = max(2, min(4, steps // 4))
