@@ -29,7 +29,8 @@ VOCAB, MAXLEN = 5000, 50
 
 CANDIDATES = {
     "plain": {},
-    "vmem32": {"xla_tpu_scoped_vmem_limit_kib": "32768"},
+    # vmem32 measured once at 646.7 img/s vs plain 1,612.8 (big loss) —
+    # dropped from the ladder to save a slow-session compile.
     "vmem48": {"xla_tpu_scoped_vmem_limit_kib": "49152"},
     "vmem64": {"xla_tpu_scoped_vmem_limit_kib": "65536"},
     "vmem64+scav": {"xla_tpu_scoped_vmem_limit_kib": "65536",
@@ -67,9 +68,16 @@ def build(b):
     return trainer, state, {k: jax.device_put(v) for k, v in batch.items()}
 
 
+_COMPILED = {}
+
+
 def measure(trainer, state0, batch, opts, b, steps):
-    step = (jax.jit(trainer.train_step, compiler_options=dict(opts))
+    key = tuple(sorted(opts.items()))  # cache across rounds: one compile
+    if key not in _COMPILED:           # per candidate, not per round
+        _COMPILED[key] = (
+            jax.jit(trainer.train_step, compiler_options=dict(opts))
             if opts else jax.jit(trainer.train_step))
+    step = _COMPILED[key]
     rng = jax.random.PRNGKey(1)
     state, m = step(state0, batch, rng)  # compile + warmup (no donation:
     float(m["loss"])                     # state0 is reused per candidate)
@@ -88,16 +96,15 @@ def main():
 
     if "--batches" in sys.argv:
         for bb in (128, 256, 384, 512):
+            _COMPILED.clear()  # shapes changed; old executables are stale
             trainer, state, batch = build(bb)
             try:
-                r = measure(trainer, state, batch, {}, bb, steps)
-                r2 = measure(trainer, state, batch,
-                             CANDIDATES["serving-set"], bb, steps)
+                r = measure(trainer, state, batch,
+                            CANDIDATES["vmem64"], bb, steps)
             except Exception as e:  # noqa: BLE001 — OOM at large B is data
                 print(f"B={bb}: FAILED {type(e).__name__}: {e}")
                 continue
-            print(f"B={bb}: plain {r:.1f} img/s   serving-set {r2:.1f} img/s",
-                  flush=True)
+            print(f"B={bb}: vmem64 {r:.1f} img/s", flush=True)
         return
 
     trainer, state, batch = build(b)

@@ -425,12 +425,18 @@ def test_compiler_options_env_override(monkeypatch):
             == compile_opts.DEFAULT_TPU_COMPILER_OPTIONS)
 
 
-def test_train_compiler_options_default_empty(monkeypatch):
-    """Train compiles get NO flags by default (the serving-tuned set costs
-    the backward+optimizer program ~4%); TET_TRAIN_COMPILER_OPTIONS overrides."""
+def test_train_compiler_options_default(monkeypatch):
+    """Train compiles get 64M scoped vmem ONLY (measured +4%; the serving
+    trio's scavenging costs the backward+optimizer program ~4%);
+    TET_TRAIN_COMPILER_OPTIONS overrides."""
     from tumblr_emotions_tpu.utils import compile_opts
 
-    assert compile_opts.train_default_options() == {}
+    assert compile_opts.train_default_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536"}
+    # In particular the serving set's scavenge/downcast flags must NOT
+    # be applied to train compiles.
+    assert "xla_tpu_scavenge_vmem_for_fusions" not in (
+        compile_opts.train_default_options())
     monkeypatch.setenv("TET_TRAIN_COMPILER_OPTIONS",
                        '{"xla_tpu_scoped_vmem_limit_kib": "32768"}')
     assert compile_opts.train_default_options() == {
@@ -438,4 +444,5 @@ def test_train_compiler_options_default_empty(monkeypatch):
     # The serving-side env var does not leak into the train path.
     monkeypatch.setenv("TET_COMPILER_OPTIONS", '{"a": "b"}')
     monkeypatch.delenv("TET_TRAIN_COMPILER_OPTIONS")
-    assert compile_opts.train_default_options() == {}
+    assert compile_opts.train_default_options() == {
+        "xla_tpu_scoped_vmem_limit_kib": "65536"}

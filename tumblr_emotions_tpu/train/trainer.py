@@ -340,10 +340,10 @@ class Trainer:
         per step).  Multi-device meshes get explicit NamedShardings: params
         replicated, batch split on the data axis, XLA all-reducing grads.
 
-        Train/eval compiles take `train_default_options()` — empty by
-        default, because the serving-tuned flags cost the backward+optimizer
-        program ~4% (interleaved A/B, docs/PERFORMANCE.md); override via
-        TET_TRAIN_COMPILER_OPTIONS.
+        Train/eval compiles take `train_default_options()` — 64M scoped
+        vmem only (+4% on the backward+optimizer program; the serving
+        trio's vmem scavenging costs it ~4%, interleaved sweeps in
+        docs/PERFORMANCE.md); override via TET_TRAIN_COMPILER_OPTIONS.
         """
         from tumblr_emotions_tpu.utils.compile_opts import (
             tpu_jit, train_default_options)

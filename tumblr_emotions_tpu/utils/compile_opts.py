@@ -50,11 +50,15 @@ DEFAULT_AUTOTUNE_CANDIDATES: List[Dict[str, str]] = [{}] + [
 ]
 
 
-# The serving-tuned flags above COST the train step ~4% (interleaved
-# A/B, twice: plain 111.3/125.1 vs tuned 106.5/116.3 img/s) — the
-# backward+optimizer program has different vmem pressure, so training
-# compiles get no flags by default.  Override via TET_TRAIN_COMPILER_OPTIONS.
-DEFAULT_TRAIN_COMPILER_OPTIONS: Dict[str, str] = {}
+# The train step wants a DIFFERENT flag set than serving: the full
+# serving trio costs it ~4% (vmem scavenging hurts the backward+optimizer
+# program), but 64M scoped vmem ALONE wins ~+4% (post-preprocess-fix
+# interleaved sweep, B=256 joint fine-tune: plain 1,617 / vmem64 1,681 /
+# vmem64+scavenge 1,600 / serving trio 1,601 img/s — docs/PERFORMANCE.md).
+# Override via TET_TRAIN_COMPILER_OPTIONS.
+DEFAULT_TRAIN_COMPILER_OPTIONS: Dict[str, str] = {
+    "xla_tpu_scoped_vmem_limit_kib": "65536",
+}
 
 
 def default_options() -> Dict[str, str]:
