@@ -446,3 +446,47 @@ def test_train_compiler_options_default(monkeypatch):
     monkeypatch.delenv("TET_TRAIN_COMPILER_OPTIONS")
     assert compile_opts.train_default_options() == {
         "xla_tpu_scoped_vmem_limit_kib": "65536"}
+
+
+def test_bench_setup_on_device_matches_init_tree():
+    """bench._setup_on_device must return variables structurally identical
+    to model.init's (it replaces the init to dodge a full-tower device
+    compile), uint8 batches of the right shape, and f32 calib images.
+    Uses a thin tower so the CPU fill compile stays cheap."""
+    import sys
+    from pathlib import Path
+
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    import bench
+    from tumblr_emotions_tpu.config import get_preset
+    from tumblr_emotions_tpu.train import build_model
+
+    cfg = get_preset("fused_inference")
+    cfg = cfg.replace(image=cfg.image.replace(depth_multiplier=0.25))
+    model, _ = build_model(cfg)
+    variables, batches, calib = bench._setup_on_device(
+        model, batch=4, src=64, calib_n=2)
+
+    expected = jax.eval_shape(
+        lambda: model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 299, 299, 3), jnp.bfloat16),
+                           train=False))
+    got_flat = jax.tree_util.tree_flatten_with_path(variables)[0]
+    exp_flat = jax.tree_util.tree_flatten_with_path(expected)[0]
+    assert len(got_flat) == len(exp_flat)
+    for (gp, gl), (ep, el) in zip(got_flat, exp_flat):
+        assert gp == ep
+        assert gl.shape == el.shape and gl.dtype == el.dtype
+        name = "/".join(str(getattr(p, "key", p)) for p in gp).lower()
+        if "batch_stats" in name and "var" in name:
+            assert float(jnp.min(gl)) == 1.0  # BN folding needs var > 0
+
+    assert len(batches) == 4
+    for b in batches:
+        assert b.shape == (4, 64, 64, 3) and b.dtype == jnp.uint8
+    # Distinct batches (distinct RNG keys actually applied).
+    assert not bool(jnp.array_equal(batches[0], batches[1]))
+    assert calib.shape == (2, 299, 299, 3) and calib.dtype == jnp.float32
