@@ -99,13 +99,13 @@ def _measure(fused, dev_batches, batch, steps):
     # ends with a scalar fetch depending on every step's output.
     float(fused(dev_batches[0]))  # warmup / compile
     rates = []
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         outs = [fused(dev_batches[i % len(dev_batches)])
                 for i in range(steps)]
         float(jnp.stack(outs).sum())
         rates.append(batch * steps / (time.perf_counter() - t0))
-    return sorted(rates)[1]  # median of 3: remote-link jitter
+    return sorted(rates)[2]  # median of 5: remote-link/service jitter
 
 
 def main() -> int:
