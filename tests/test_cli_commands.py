@@ -141,7 +141,10 @@ def test_tune_sweeps_and_caches(tmp_path, capsys):
     assert report["best_images_per_sec"] > 0
     assert "TET_COMPILER_OPTIONS" in report["apply_hint"]
     cached = json.load(open(cache))
-    assert cached["serving/int8/b4"] == {}
+    # Custom --candidates sweeps cache under a list-digest-suffixed key so
+    # a different ladder is never served this winner.
+    keys = [k for k in cached if k.startswith("serving/int8/b4")]
+    assert keys and cached[keys[0]] == {}
 
 
 def test_tune_rejects_bad_candidates_file(tmp_path):
@@ -169,4 +172,4 @@ def test_cli_tune_train_step(tmp_path, capsys):
     assert out["candidates_measured"] == 1
     assert "TET_TRAIN_COMPILER_OPTIONS" in out["apply_hint"]
     with open(cache) as f:
-        assert "train/joint/b2" in json.load(f)
+        assert any(k.startswith("train/joint/b2") for k in json.load(f))

@@ -238,3 +238,65 @@ def test_http_end_to_end_real_model():
         assert abs(sum(payload["probs"].values()) - 1.0) < 1e-3
     finally:
         srv.close()
+
+
+def test_close_drains_queue_and_rejects_new_submits():
+    """close() must fail queued futures immediately (not leave them to a
+    60s client timeout) and submit() after close must raise."""
+    import queue as queue_mod
+    from concurrent.futures import Future
+
+    from tumblr_emotions_tpu.server import _Request
+
+    p = BatchedPredictor(_fake_runner(), batch_size=4, host_size=32,
+                         max_delay_ms=5.0, decode_threads=1)
+    p.close()
+    # Race simulation: a request that slipped into the queue around close.
+    fut: Future = Future()
+    p._queue.put(_Request(image=_jpeg_bytes(), text=None, future=fut))
+    p.close()  # idempotent; drains the straggler
+    with pytest.raises(RuntimeError, match="closed"):
+        fut.result(timeout=1.0)
+    with pytest.raises(RuntimeError, match="closed"):
+        p.submit(image=_jpeg_bytes())
+
+
+def test_http_rejects_oversized_body():
+    p = BatchedPredictor(_fake_runner(), batch_size=4, host_size=32,
+                         max_delay_ms=5.0, decode_threads=1)
+    server = EmotionHTTPServer(p, host="127.0.0.1", port=0)
+    server.serve_background()
+    try:
+        host, port = server.server_address[:2]
+        req = urllib.request.Request(
+            f"http://{host}:{port}/predict", method="POST")
+        req.add_header("Content-Length", str(1 << 33))  # 8 GB claim
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected HTTP 413"
+        except urllib.error.HTTPError as e:
+            assert e.code == 413
+            assert "too large" in json.loads(e.read())["error"]
+    finally:
+        server.close()
+
+
+def test_runner_failure_is_visible_in_stats():
+    def bad_runner(image, tokens, lengths):
+        raise RuntimeError("device fell over")
+
+    p = BatchedPredictor(bad_runner, batch_size=4, host_size=32,
+                         max_delay_ms=5.0, decode_threads=1)
+    try:
+        fut = p.submit(image=_jpeg_bytes())
+        with pytest.raises(RuntimeError, match="fell over"):
+            fut.result(timeout=10)
+        deadline = time.perf_counter() + 5
+        while time.perf_counter() < deadline:
+            if p.stats.snapshot(4)["errors"] >= 1:
+                break
+            time.sleep(0.01)
+        snap = p.stats.snapshot(4)
+        assert snap["errors"] >= 1, snap
+    finally:
+        p.close()

@@ -490,3 +490,67 @@ def test_bench_setup_on_device_matches_init_tree():
     # Distinct batches (distinct RNG keys actually applied).
     assert not bool(jnp.array_equal(batches[0], batches[1]))
     assert calib.shape == (2, 299, 299, 3) and calib.dtype == jnp.float32
+
+
+def test_serving_forward_honors_preprocess_config():
+    """ops.serving._forward must apply the configured image size / crop /
+    resize method for the engine paths (not hardcoded eval defaults), and
+    refuse from_uint8 when the int8-GEMM preprocess can't express the
+    configured resize."""
+    import jax.numpy as jnp
+    import pytest
+
+    from tumblr_emotions_tpu.ops import serving as serving_lib
+
+    seen = {}
+
+    def engine(x):
+        seen["shape"] = tuple(x.shape)
+        seen["dtype"] = x.dtype
+        return None, jnp.zeros((x.shape[0], 8), jnp.float32)
+
+    raw = np.random.RandomState(0).randint(
+        0, 256, size=(2, 171, 171, 3), dtype=np.uint8)
+    serving_lib._forward(engine, jnp.asarray(raw), from_uint8=False,
+                         preprocess_dtype=jnp.float32, image_size=151,
+                         central_fraction=1.0, resize_method="half_pixel")
+    assert seen["shape"] == (2, 151, 151, 3)
+
+    class FakeInt8:
+        def forward_from_uint8(self, raw_u8, height=299, width=299,
+                               central_fraction=0.875):
+            seen["u8"] = (raw_u8.shape, height, width, central_fraction)
+            return None, jnp.zeros((raw_u8.shape[0], 8), jnp.float32)
+
+    serving_lib._forward(FakeInt8(), jnp.asarray(raw), from_uint8=True,
+                         preprocess_dtype=jnp.bfloat16, image_size=151,
+                         central_fraction=0.9, resize_method="tf1")
+    assert seen["u8"][1:] == (151, 151, 0.9)
+
+    with pytest.raises(ValueError, match="TF1 resize only"):
+        serving_lib._forward(FakeInt8(), jnp.asarray(raw), from_uint8=True,
+                             preprocess_dtype=jnp.bfloat16, image_size=151,
+                             central_fraction=0.9,
+                             resize_method="half_pixel")
+
+
+def test_autotune_custom_candidates_not_served_default_cache(tmp_path):
+    """A custom candidate list must not be served a winner cached from a
+    different sweep under the same program key."""
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.utils import compile_opts
+
+    cache = str(tmp_path / "tune.json")
+    args = (jnp.arange(4.0),)
+    best1 = compile_opts.autotune(lambda x: x + 1, args, steps=1, repeats=1,
+                                  candidates=[{}], cache_path=cache,
+                                  key="prog")
+    assert best1 == {}
+    seen = []
+    best2 = compile_opts.autotune(
+        lambda x: x + 1, args, steps=1, repeats=1,
+        candidates=[{"xla_surely_not_a_real_flag": "1"}, {}],
+        cache_path=cache, key="prog",
+        on_result=lambda o, t: seen.append(o))
+    assert best2 == {} and seen  # measured, not served from best1's entry

@@ -813,8 +813,13 @@ def cmd_tune(args) -> int:
         print(json.dumps({
             "step": "train", "batch_size": args.batch_size,
             "best_options": best,
-            "best_images_per_sec": max(r["images_per_sec"] for r in results),
+            # A second run with --cache serves the winner from the JSON
+            # cache without re-measuring; there are no rates then.
+            "best_images_per_sec": (max(r["images_per_sec"]
+                                        for r in results)
+                                    if results else None),
             "candidates_measured": len(results),
+            "from_cache": not results,
             "apply_hint":
                 f"export TET_TRAIN_COMPILER_OPTIONS='{json.dumps(best)}'",
             "results": results,
@@ -862,8 +867,10 @@ def cmd_tune(args) -> int:
     print(json.dumps({
         "engine": args.engine, "batch_size": args.batch_size,
         "best_options": best,
-        "best_images_per_sec": max(r["images_per_sec"] for r in results),
+        "best_images_per_sec": (max(r["images_per_sec"] for r in results)
+                                if results else None),
         "candidates_measured": len(results),
+        "from_cache": not results,
         "apply_hint": f"export TET_COMPILER_OPTIONS='{json.dumps(best)}'",
         "results": results,
     }))

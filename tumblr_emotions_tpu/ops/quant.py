@@ -658,15 +658,19 @@ class QuantizedInceptionV3:
         self.scales = {k: max(float(v), 1e-6) / 127.0
                        for k, v in maxima.items()}
 
-    def forward_from_uint8(self, raw_u8: jax.Array
+    def forward_from_uint8(self, raw_u8: jax.Array, height: int = 299,
+                           width: int = 299, central_fraction: float = 0.875
                            ) -> Tuple[Optional[jax.Array], jax.Array]:
         """Decoded uint8 [B,H,W,3] -> int8 eval preprocess -> tower.
 
         The fastest serving path: central crop, int8-GEMM TF1 resize, and
         normalization+input-quantization fused into one epilogue, so no
-        float image tensor ever touches HBM.
+        float image tensor ever touches HBM.  The preprocess knobs must
+        match the model's eval config (TF1 resize only by construction).
         """
-        q = preprocess_for_eval_int8(raw_u8, self.scales["input"])
+        q = preprocess_for_eval_int8(raw_u8, self.scales["input"],
+                                     height=height, width=width,
+                                     central_fraction=central_fraction)
         return self((q, self.scales["input"]))
 
     def __call__(self, x) -> Tuple[Optional[jax.Array], jax.Array]:

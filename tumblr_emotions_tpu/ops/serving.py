@@ -36,7 +36,9 @@ from tumblr_emotions_tpu.parallel import mesh as mesh_lib
 from tumblr_emotions_tpu.utils.compile_opts import tpu_jit
 
 
-def _forward(engine, raw_u8, from_uint8: bool, preprocess_dtype):
+def _forward(engine, raw_u8, from_uint8: bool, preprocess_dtype,
+             image_size: int = 299, central_fraction: float = 0.875,
+             resize_method: str = "tf1"):
     from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
 
     if from_uint8:
@@ -45,8 +47,17 @@ def _forward(engine, raw_u8, from_uint8: bool, preprocess_dtype):
                 f"{type(engine).__name__} has no forward_from_uint8; "
                 "from_uint8 serving needs the int8 engine "
                 "(ops.quant.QuantizedInceptionV3)")
-        return engine.forward_from_uint8(raw_u8)
-    x = preprocess_for_eval(raw_u8, dtype=preprocess_dtype)
+        if resize_method != "tf1":
+            raise ValueError(
+                "the int8-GEMM preprocess implements the TF1 resize only; "
+                f"resize_method={resize_method!r} needs from_uint8=False")
+        return engine.forward_from_uint8(
+            raw_u8, height=image_size, width=image_size,
+            central_fraction=central_fraction)
+    x = preprocess_for_eval(raw_u8, image_size, image_size,
+                            central_fraction=central_fraction,
+                            resize_method=resize_method,
+                            dtype=preprocess_dtype)
     return engine(x)
 
 
@@ -61,7 +72,10 @@ def _checked(logits, feature):
 
 def data_parallel_server(engine, mesh,
                          preprocess_dtype=jnp.bfloat16,
-                         from_uint8: bool = False
+                         from_uint8: bool = False,
+                         image_size: int = 299,
+                         central_fraction: float = 0.875,
+                         resize_method: str = "tf1"
                          ) -> Callable[[jax.Array], Tuple[jax.Array, jax.Array]]:
     """jitted [B, H, W, 3] uint8 -> (probs [B, C], feature [B, 2048]),
     batch-sharded over the mesh's data axis.
@@ -69,11 +83,14 @@ def data_parallel_server(engine, mesh,
     B must be a multiple of the data-axis size.  Decoded uint8 batches can
     be produced per-host by the grain pipeline (host sharding) and placed
     with ``parallel.shard_batch``.  ``from_uint8=True`` uses the engine's
-    all-int8 preprocess (uint8 in, no float image tensor in HBM).
+    all-int8 preprocess (uint8 in, no float image tensor in HBM; TF1
+    resize only).  The preprocess knobs must match the model's eval
+    config (``build_forward`` threads them from ``cfg``).
     """
     def body(raw_u8):
         return _checked(*_forward(engine, raw_u8, from_uint8,
-                                  preprocess_dtype))
+                                  preprocess_dtype, image_size,
+                                  central_fraction, resize_method))
 
     if mesh.devices.size == 1:
         # Single device: plain jit, uncommitted inputs (see
@@ -123,6 +140,9 @@ def build_forward(cfg, trainer, variables, mesh, engine: str = "int8",
     tower_vars = variables if cfg.model == "image" else {
         "params": variables["params"]["InceptionV3"],
         "batch_stats": variables["batch_stats"]["InceptionV3"]}
+    pp = dict(image_size=cfg.image.image_size,
+              central_fraction=cfg.data.eval_central_crop,
+              resize_method=cfg.data.resize_method)
     if engine == "int8":
         from tumblr_emotions_tpu.ops.quant import QuantizedInceptionV3
 
@@ -131,7 +151,10 @@ def build_forward(cfg, trainer, variables, mesh, engine: str = "int8",
                              "preprocessed f32 calibration batch)")
         eng = QuantizedInceptionV3(tower_vars, calib_images,
                                    epilogue="shift")
-        from_uint8 = True
+        # The all-int8 front half implements the TF1 resize only; a
+        # non-default resize_method falls back to the float preprocess
+        # feeding the same int8 tower (numerics identical to eval).
+        from_uint8 = (cfg.data.resize_method == "tf1")
     elif engine == "bf16":
         from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
 
@@ -144,7 +167,8 @@ def build_forward(cfg, trainer, variables, mesh, engine: str = "int8",
 
     if cfg.model == "joint":
         server = joint_data_parallel_server(eng, trainer.model, variables,
-                                            mesh, from_uint8=from_uint8)
+                                            mesh, from_uint8=from_uint8,
+                                            **pp)
 
         def runner(image, tokens, lengths):
             if lengths is None:
@@ -154,13 +178,16 @@ def build_forward(cfg, trainer, variables, mesh, engine: str = "int8",
 
         return runner
 
-    img_server = data_parallel_server(eng, mesh, from_uint8=from_uint8)
+    img_server = data_parallel_server(eng, mesh, from_uint8=from_uint8, **pp)
     return lambda image, tokens, lengths: img_server(image)[0]
 
 
 def joint_data_parallel_server(engine, model, variables, mesh,
                                preprocess_dtype=jnp.bfloat16,
-                               from_uint8: bool = False
+                               from_uint8: bool = False,
+                               image_size: int = 299,
+                               central_fraction: float = 0.875,
+                               resize_method: str = "tf1"
                                ) -> Callable[..., jax.Array]:
     """One served program for the joint Deep Sentiment model:
     jitted (raw_u8 [B,H,W,3], tokens [B,T], lengths [B]) -> probs [B, C].
@@ -172,7 +199,8 @@ def joint_data_parallel_server(engine, model, variables, mesh,
     ``variables`` is the joint model's {"params", "batch_stats"} tree.
     """
     def body(raw_u8, tokens, lengths):
-        _, feature = _forward(engine, raw_u8, from_uint8, preprocess_dtype)
+        _, feature = _forward(engine, raw_u8, from_uint8, preprocess_dtype,
+                              image_size, central_fraction, resize_method)
         _, ep = model.apply(variables, feature.astype(jnp.float32),
                             tokens, lengths, method="fuse")
         return ep["Predictions"]

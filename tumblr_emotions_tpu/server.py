@@ -130,6 +130,9 @@ class BatchedPredictor:
         self.decode_threads = int(decode_threads)
         self.emotions = list(emotions)
         self.stats = ServerStats()
+        self._image_buf: Optional[np.ndarray] = None
+        self._token_buf: Optional[np.ndarray] = None
+        self._length_buf: Optional[np.ndarray] = None
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -142,6 +145,8 @@ class BatchedPredictor:
                text: Optional[str] = None) -> Future:
         """Enqueue one post; the Future resolves to
         ``{"top": emotion, "probs": {emotion: p, ...}}``."""
+        if self._stop.is_set():
+            raise RuntimeError("predictor is closed")
         if self.needs_image and image is None:
             raise ValueError("this model serves images; image bytes required")
         if self.vocab is not None and not self.needs_image and text is None:
@@ -158,6 +163,15 @@ class BatchedPredictor:
     def close(self) -> None:
         self._stop.set()
         self._thread.join(timeout=5.0)
+        # Fail queued (and raced-in) requests immediately instead of
+        # leaving their futures to hang until the client's timeout.
+        while True:
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if not r.future.done():
+                r.future.set_exception(RuntimeError("predictor closed"))
 
     # -- batcher thread ------------------------------------------------------
 
@@ -183,6 +197,9 @@ class BatchedPredictor:
                 for r in items:
                     if not r.future.done():
                         r.future.set_exception(e)
+                # A runner failure must show in /stats, not just in the
+                # per-request 500s: count every row as an error.
+                self.stats.record_batch(0, [], n_errors=len(items))
 
     def _decode(self, items: List[_Request]) -> List[Optional[np.ndarray]]:
         """Decode+resize each request's JPEG; per-request error isolation
@@ -191,7 +208,9 @@ class BatchedPredictor:
         try:
             raws = jpeg_lib.decode_batch(datas,
                                          num_threads=self.decode_threads)
-        except ValueError:
+        except Exception:  # noqa: BLE001 — any bad image (the PIL fallback
+            # raises UnidentifiedImageError, not ValueError): retry
+            # per-image so one corrupt JPEG fails only its own future.
             raws = []
             for r in items:
                 try:
@@ -224,14 +243,26 @@ class BatchedPredictor:
         n = len(live)
         image_b = tokens_b = lengths_b = None
         if self.needs_image:
-            image_b = np.zeros((B, S, S, 3), np.uint8)
-            image_b[:n] = np.stack(images)
+            # One preallocated host buffer, reused every batch: the batcher
+            # is single-threaded and np.asarray(runner(...)) below blocks
+            # until the batch's compute is done, so the buffer is never
+            # mutated while a dispatch might still read it (relevant on the
+            # CPU backend, where JAX can alias numpy memory).  Stale pad
+            # rows are harmless: their outputs are sliced off below.
+            if self._image_buf is None:
+                self._image_buf = np.zeros((B, S, S, 3), np.uint8)
+            image_b = self._image_buf
+            for i, img in enumerate(images):
+                image_b[i] = img
         if self.vocab is not None:
-            tokens_b = np.zeros((B, self.max_len), np.int32)
-            lengths_b = np.zeros((B,), np.int32)
+            if self._token_buf is None:
+                self._token_buf = np.zeros((B, self.max_len), np.int32)
+                self._length_buf = np.zeros((B,), np.int32)
+            tokens_b, lengths_b = self._token_buf, self._length_buf
             toks, lens = self.vocab.encode_batch(
                 [r.text or "" for r in live], self.max_len)
             tokens_b[:n], lengths_b[:n] = toks, lens
+            lengths_b[n:] = 1  # pad rows: avoid 0-length edge paths
 
         probs = np.asarray(self.runner(image_b, tokens_b, lengths_b),
                            np.float32)[:n]
@@ -254,6 +285,7 @@ class BatchedPredictor:
 class _Handler(BaseHTTPRequestHandler):
     predictor: BatchedPredictor  # set by EmotionHTTPServer
     request_timeout: float = 60.0
+    max_body_bytes: int = 32 * 1024 * 1024  # cap attacker-controlled reads
 
     def log_message(self, fmt, *args):  # quiet by default
         pass
@@ -285,6 +317,10 @@ class _Handler(BaseHTTPRequestHandler):
             self._json(404, {"error": f"no route {url.path}"})
             return
         length = int(self.headers.get("Content-Length") or 0)
+        if length > self.max_body_bytes:
+            self._json(413, {"error": f"body too large ({length} bytes; "
+                                      f"max {self.max_body_bytes})"})
+            return
         body = self.rfile.read(length) if length else b""
         text = (parse_qs(url.query).get("text", [None])[0]
                 or self.headers.get("X-Text"))

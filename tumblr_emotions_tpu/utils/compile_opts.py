@@ -74,8 +74,9 @@ def default_options() -> Dict[str, str]:
 
 
 def train_default_options() -> Dict[str, str]:
-    """Compiler options for TRAIN-step compiles (none by default; see
-    `DEFAULT_TRAIN_COMPILER_OPTIONS`).  Override: TET_TRAIN_COMPILER_OPTIONS."""
+    """Compiler options for TRAIN-step compiles (64M scoped vmem, the
+    measured +4%; see `DEFAULT_TRAIN_COMPILER_OPTIONS` — deliberately NOT
+    the serving set).  Override: TET_TRAIN_COMPILER_OPTIONS."""
     return _options_from_env("TET_TRAIN_COMPILER_OPTIONS",
                              DEFAULT_TRAIN_COMPILER_OPTIONS)
 
@@ -93,13 +94,37 @@ def _options_from_env(var: str, default: Dict[str, str]) -> Dict[str, str]:
     return {str(k): str(v) for k, v in opts.items()}
 
 
+_PROBE_CACHE: Dict[frozenset, bool] = {}
+
+
+def options_accepted(opts: Dict[str, str]) -> bool:
+    """Whether this backend accepts ``opts`` — probed once per option set
+    with a trivial compile (flag-name rejection is program-independent),
+    cached for the process.  Keeping the probe separate from the real
+    program means a flagged call that fails at RUN time (OOM, transient
+    remote error) propagates loudly instead of being silently retried —
+    retrying with donated args would poke deleted buffers, and silently
+    dropping tuned flags hides a measured ~8% (docs/PERFORMANCE.md).
+    """
+    key = frozenset(opts.items())
+    if key not in _PROBE_CACHE:
+        try:
+            jax.jit(lambda: jax.numpy.zeros(()),
+                    compiler_options=dict(opts))()
+            _PROBE_CACHE[key] = True
+        except Exception:  # noqa: BLE001 — backend rejected the flags
+            _PROBE_CACHE[key] = False
+    return _PROBE_CACHE[key]
+
+
 def tpu_jit(fn: Callable, *, compiler_options: Optional[Dict[str, str]] = None,
             **jit_kwargs: Any) -> Callable:
     """``jax.jit`` with the tuned TPU compiler options and a safe fallback.
 
-    Returns a wrapper that compiles with the options on first call and
-    silently falls back to an unflagged jit if the backend rejects them
-    (CPU, or a runtime whose compile helper refuses the flags).
+    Returns a wrapper that, on first call, probes whether the backend
+    accepts the options (see :func:`options_accepted`) and compiles with
+    them if so; otherwise it uses an unflagged jit (CPU, or a runtime
+    whose compile helper refuses the flags).
     """
     opts = (default_options() if compiler_options is None
             else compiler_options)
@@ -110,12 +135,8 @@ def tpu_jit(fn: Callable, *, compiler_options: Optional[Dict[str, str]] = None,
 
     def call(*args, **kwargs):
         if state["use"] is None:
-            try:
-                out = flagged(*args, **kwargs)
-                state["use"] = flagged
-                return out
-            except Exception:  # noqa: BLE001 — backend rejected the flags
-                state["use"] = plain
+            state["use"] = (flagged if opts and options_accepted(opts)
+                            else plain)
         return state["use"](*args, **kwargs)
 
     def _cache_size():
@@ -171,6 +192,14 @@ def autotune(fn: Callable, example_args: Sequence[Any], *,
             f"{getattr(a, 'dtype', type(a).__name__)}{list(getattr(a, 'shape', []))}"
             for a in example_args)
         key = f"{getattr(fn, '__name__', 'fn')}({sig})"
+    # A custom candidate list must not be served a winner cached from a
+    # DIFFERENT sweep under the same program key.
+    if candidates is not None:
+        import hashlib
+
+        digest = hashlib.md5(
+            json.dumps(cands, sort_keys=True).encode()).hexdigest()[:10]
+        key = f"{key}#cands={digest}"
 
     cache: Dict[str, Dict[str, str]] = {}
     if cache_path and os.path.exists(cache_path):
