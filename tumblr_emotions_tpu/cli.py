@@ -434,8 +434,13 @@ def cmd_infer(args) -> int:
         infer_mesh = mesh_lib.create_mesh(devices=devices)
         calib = None
         if args.engine == "int8":
+            # Calibration must see the SAME preprocessing the engine
+            # serves with (cfg knobs), or the activation scales drift.
             calib = preprocess_for_eval(
-                jnp.asarray(batches[0]["image"][:64]), dtype=jnp.float32)
+                jnp.asarray(batches[0]["image"][:64]),
+                cfg.image.image_size, cfg.image.image_size,
+                central_fraction=cfg.data.eval_central_crop,
+                resize_method=cfg.data.resize_method, dtype=jnp.float32)
         runner = serving_lib.build_forward(
             cfg, trainer, variables, infer_mesh, engine=args.engine,
             calib_images=calib)
@@ -488,6 +493,10 @@ def cmd_infer(args) -> int:
         from tumblr_emotions_tpu.ops.quant import quantization_delta
 
         imgs = preprocess_for_eval(jnp.asarray(batches[0]["image"]),
+                                   cfg.image.image_size,
+                                   cfg.image.image_size,
+                                   central_fraction=cfg.data.eval_central_crop,
+                                   resize_method=cfg.data.resize_method,
                                    dtype=jnp.float32)
         # The delta harness compares image-TOWER engines, so it takes the
         # tower subtree (for the joint model, variables["...InceptionV3"]).
@@ -545,8 +554,11 @@ def cmd_serve(args) -> int:
         calib = None
         if args.engine == "int8":
             first = next(iter(_make_batches(args, cfg, vocab, train=False)))
-            calib = preprocess_for_eval(jnp.asarray(first["image"][:64]),
-                                        dtype=jnp.float32)
+            calib = preprocess_for_eval(
+                jnp.asarray(first["image"][:64]),
+                cfg.image.image_size, cfg.image.image_size,
+                central_fraction=cfg.data.eval_central_crop,
+                resize_method=cfg.data.resize_method, dtype=jnp.float32)
         runner = serving_lib.build_forward(cfg, trainer, variables,
                                            serve_mesh, engine=args.engine,
                                            calib_images=calib)
