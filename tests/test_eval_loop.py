@@ -177,3 +177,67 @@ def test_dp_eval_over_records_with_ragged_split(tmp_path):
     assert summary["count"] == n_records
     # One compilation: the padded batch reused the same executable.
     assert trainer._compiled_eval._cache_size() == 1
+
+
+class _FakeResumableIter:
+    """Minimal grain-like resumable iterator over a batch list."""
+
+    def __init__(self, batch_list):
+        self._batches = batch_list
+        self.pos = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self.pos >= len(self._batches):
+            raise StopIteration
+        b = self._batches[self.pos]
+        self.pos += 1
+        return b
+
+    def get_state(self):
+        return {"pos": self.pos}
+
+    def set_state(self, state):
+        self.pos = int(state["pos"])
+
+
+def test_fit_saves_input_position_and_runs_eval(text_setup, tmp_path):
+    """fit(input_iterator=...) persists the input position with each
+    checkpoint (trainer.restore_input_iterator restores it), and
+    fit(eval_batches=...) actually evaluates at checkpoint intervals."""
+    posts, v = text_setup
+    cfg = get_preset("text_only")
+    cfg = cfg.replace(
+        text=cfg.text.replace(vocab_size=v.size, embed_dim=8, max_len=8),
+        train=cfg.train.replace(batch_size=8, num_steps=3, log_every=1000,
+                                checkpoint_every=2,
+                                checkpoint_dir=str(tmp_path / "ckpt"),
+                                log_dir=str(tmp_path / "logs")))
+    trainer = Trainer(cfg)
+    batch_list = list(csv_dataset.text_batches(
+        posts, v, 8, cfg.text.max_len, seed=0, num_epochs=2,
+        drop_remainder=True))
+    it = _FakeResumableIter(batch_list)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch_list[0])
+    trainer.checkpoint_manager()
+
+    eval_calls = []
+
+    def eval_batches():
+        eval_calls.append(1)
+        return batch_list[:2]
+
+    trainer.fit(state, it, num_steps=3, eval_batches=eval_batches,
+                input_iterator=it)
+    assert eval_calls, "eval_batches was never evaluated"
+    assert os.path.exists(os.path.join(str(tmp_path / "ckpt"),
+                                       "input_iterator.json"))
+
+    # A fresh iterator restores to the saved position (3 batches consumed).
+    it2 = _FakeResumableIter(batch_list)
+    assert trainer.restore_input_iterator(it2)
+    assert it2.pos == 3
+    # Plain generators are skipped gracefully.
+    assert not trainer.restore_input_iterator(iter(batch_list))

@@ -230,10 +230,17 @@ def cmd_train(args) -> int:
     trainer, state, cfg = _init_trainer_state(args, cfg, vocab, first)
     trainer.checkpoint_manager()
     resumed = trainer.restore_latest(state)
+    resumed_input = False
     if resumed is not None:
         state = resumed
-        log.info("resumed at step %d", int(state.step))
-    stream = itertools.chain([first], it)
+        # Resume the INPUT position too (saved with each checkpoint):
+        # otherwise the stream replays from record 0 and re-trains the
+        # already-seen prefix of the epoch.  `first` (consumed above for
+        # shape inference) is superseded by set_state, so drop it.
+        resumed_input = trainer.restore_input_iterator(it)
+        log.info("resumed at step %d%s", int(state.step),
+                 " (input position restored)" if resumed_input else "")
+    stream = it if resumed_input else itertools.chain([first], it)
     if args.head_steps and int(state.step) < args.head_steps:
         # Phase 1: freeze everything but the classification heads.
         heads = "Logits,AuxLogits,JointLogits,JointHidden,TextLogits,TextHidden"
@@ -250,14 +257,16 @@ def cmd_train(args) -> int:
             opt_state=head_trainer.tx.init(state.params))
         log.info("phase 1: training heads only for %d steps", args.head_steps)
         head_state = head_trainer.fit(
-            head_state, stream, num_steps=args.head_steps - int(state.step))
+            head_state, stream, num_steps=args.head_steps - int(state.step),
+            input_iterator=it)
         # Phase 2 resumes with a fresh full-model optimizer.
         state = _tr.TrainState(step=head_state.step, params=head_state.params,
                                batch_stats=head_state.batch_stats,
                                opt_state=trainer.tx.init(head_state.params))
         log.info("phase 2: fine-tuning end-to-end")
     state = trainer.fit(state, stream,
-                        num_steps=cfg.train.num_steps - int(state.step))
+                        num_steps=cfg.train.num_steps - int(state.step),
+                        input_iterator=it)
     log.info("finished at step %d", int(state.step))
     return 0
 

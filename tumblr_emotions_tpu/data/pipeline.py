@@ -47,21 +47,27 @@ class TFRecordIndex:
         self.paths = sorted(glob.glob(pattern))
         if not self.paths:
             raise FileNotFoundError(f"no records match {pattern}")
-        self._entries: List[Tuple[int, int, int]] = []  # (file_idx, off, len)
+        # One [N, 3] int64 array (file_idx, off, len) — not a list of
+        # tuples: ~10x less host RAM at 10M records and a single buffer
+        # to pickle into grain subprocess workers.
+        per_file = []
         for fi, path in enumerate(self.paths):
-            for off, ln in self._index_one(path, use_cache):
-                self._entries.append((fi, off, ln))
+            arr = self._index_one(path, use_cache)
+            fcol = np.full((len(arr), 1), fi, np.int64)
+            per_file.append(np.hstack([fcol, arr]))
+        self._entries = np.vstack(per_file)
         self._files: Dict[int, Any] = {}
         self._lock = threading.Lock()
 
     @staticmethod
-    def _index_one(path: str, use_cache: bool) -> List[Tuple[int, int]]:
+    def _index_one(path: str, use_cache: bool) -> np.ndarray:
+        """[n, 2] int64 (offset, length) for one shard."""
         idx_path = path + ".idx"
         if use_cache and os.path.exists(idx_path) and \
                 os.path.getmtime(idx_path) >= os.path.getmtime(path):
-            arr = np.fromfile(idx_path, dtype=np.int64).reshape(-1, 2)
-            return [(int(o), int(l)) for o, l in arr]
+            return np.fromfile(idx_path, dtype=np.int64).reshape(-1, 2)
         entries = []
+        size = os.path.getsize(path)
         with open(path, "rb") as f:
             off = 0
             while True:
@@ -69,21 +75,32 @@ class TFRecordIndex:
                 if len(header) < 8:
                     break
                 (length,) = struct.unpack("<Q", header)
+                if off + 12 + length + 4 > size:
+                    # Truncated trailing record (interrupted copy): agree
+                    # with read_tfrecords instead of indexing past EOF and
+                    # failing later inside a training step.
+                    raise IOError(f"truncated record at offset {off} "
+                                  f"of {path}")
                 entries.append((off + 12, length))
                 off += 12 + length + 4
                 f.seek(off)
+        arr = np.asarray(entries, np.int64).reshape(-1, 2)
         if use_cache:
+            # Atomic: a SIGKILL mid-tofile must not leave a truncated .idx
+            # newer than the shard (it would pass the mtime check forever).
+            tmp = f"{idx_path}.tmp.{os.getpid()}"
             try:
-                np.asarray(entries, np.int64).tofile(idx_path)
+                arr.tofile(tmp)
+                os.replace(tmp, idx_path)
             except OSError:
                 pass  # read-only data dir: skip the cache
-        return entries
+        return arr
 
     def __len__(self) -> int:
         return len(self._entries)
 
     def __getitem__(self, i: int) -> bytes:
-        fi, off, ln = self._entries[int(i)]
+        fi, off, ln = (int(v) for v in self._entries[int(i)])
         # One fh per file, lazily opened; pread is thread-safe.
         f = self._files.get(fi)
         if f is None:
@@ -157,8 +174,8 @@ def _make_source(pattern: str):
     return TFRecordIndex(pattern)
 
 
-def make_dataset(pattern: str, vocab: Optional[Vocabulary], cfg: PipelineConfig):
-    """grain.MapDataset of model-ready example dicts (unbatched)."""
+def _base_dataset(pattern: str, cfg: PipelineConfig):
+    """Shared source/shard/shuffle/repeat plumbing over raw record bytes."""
     import grain
 
     source = _make_source(pattern)
@@ -171,20 +188,39 @@ def make_dataset(pattern: str, vocab: Optional[Vocabulary], cfg: PipelineConfig)
         ds = ds.repeat(cfg.num_epochs)
     else:
         ds = ds.repeat(None)
+    return ds
+
+
+def _parse_meta(raw: bytes, vocab: Optional[Vocabulary],
+                cfg: PipelineConfig) -> Dict[str, Any]:
+    """Record -> example dict with the image still as JPEG bytes (decode
+    happens per BATCH through the C++ thread pool — see ``batches``)."""
+    post = records_lib.example_to_post(raw)
+    out: Dict[str, Any] = {
+        "image_bytes": post["image"],
+        "label": np.int32(post["label"]),
+        "weight": np.int32(1),
+    }
+    if vocab is not None:  # image-only consumers need no text branch
+        tokens, length = vocab.encode(post["text"], cfg.max_len)
+        out["tokens"] = tokens
+        out["lengths"] = np.int32(length)
+    return out
+
+
+def make_dataset(pattern: str, vocab: Optional[Vocabulary], cfg: PipelineConfig):
+    """grain.MapDataset of model-ready example dicts (unbatched).
+
+    Per-record decode (single-threaded) — the batched path in ``batches``
+    decodes whole batches through the C++ pool instead; use that for
+    throughput."""
+    ds = _base_dataset(pattern, cfg)
 
     def parse(raw: bytes) -> Dict[str, np.ndarray]:
-        post = records_lib.example_to_post(raw)
-        img = jpeg_lib.decode(post["image"], dct_method=cfg.dct_method)
-        img = _host_resize_uint8(img, cfg.host_size)
-        out = {
-            "image": img,
-            "label": np.int32(post["label"]),
-            "weight": np.int32(1),
-        }
-        if vocab is not None:  # image-only consumers need no text branch
-            tokens, length = vocab.encode(post["text"], cfg.max_len)
-            out["tokens"] = tokens
-            out["lengths"] = np.int32(length)
+        out = _parse_meta(raw, vocab, cfg)
+        img = jpeg_lib.decode(out.pop("image_bytes"),
+                              dct_method=cfg.dct_method)
+        out["image"] = _host_resize_uint8(img, cfg.host_size)
         return out
 
     return ds.map(parse)
@@ -214,14 +250,30 @@ def batches(pattern: str, vocab: Optional[Vocabulary], cfg: PipelineConfig
             ) -> Iterator[Dict[str, np.ndarray]]:
     """Batched numpy iterator (grain batch + optional worker prefetch).
 
-    With ``drop_remainder=False`` every batch — including the last — has
-    the static leading dimension ``cfg.batch_size`` (short remainders are
-    zero-padded with weight=0 rows).
+    JPEG decode happens per batch through the C++ decoder's thread pool
+    (``cfg.decode_threads``) — the batch boundary is where the pool gets
+    enough images to parallelize over.  With ``drop_remainder=False``
+    every batch — including the last — has the static leading dimension
+    ``cfg.batch_size`` (short remainders are zero-padded with weight=0
+    rows).
     """
     import grain
 
-    ds = make_dataset(pattern, vocab, cfg)
-    ds = ds.batch(cfg.batch_size, drop_remainder=cfg.drop_remainder)
+    def assemble(examples) -> Dict[str, np.ndarray]:
+        imgs = jpeg_lib.decode_batch(
+            [e["image_bytes"] for e in examples],
+            dct_method=cfg.dct_method, num_threads=cfg.decode_threads)
+        out = {"image": np.stack(
+            [_host_resize_uint8(a, cfg.host_size) for a in imgs])}
+        for k in examples[0]:
+            if k != "image_bytes":
+                out[k] = np.stack([e[k] for e in examples])
+        return out
+
+    ds = _base_dataset(pattern, cfg).map(
+        lambda raw: _parse_meta(raw, vocab, cfg))
+    ds = ds.batch(cfg.batch_size, drop_remainder=cfg.drop_remainder,
+                  batch_fn=assemble)
     it = ds.to_iter_dataset()
     if cfg.worker_count > 0:
         it = it.mp_prefetch(
@@ -243,24 +295,47 @@ def device_prefetch(batch_iter: Iterable[Dict[str, np.ndarray]], mesh,
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # Bounded put that notices consumer abandonment: an abandoned
+        # generator must not leave this thread blocked in q.put forever,
+        # pinning `depth` device-resident batches in HBM for the life of
+        # the process.
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for batch in batch_iter:
-                q.put(shard_batch(mesh, batch))
-            q.put(_END)
+                if not _put(shard_batch(mesh, batch)):
+                    return
+            _put(_END)
         except BaseException as e:  # propagate: a decode/IO failure must NOT
-            q.put(e)                # look like clean end-of-input
+            _put(e)                 # look like clean end-of-input
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        while True:  # drop buffered device batches so HBM frees promptly
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 # ---------------------------------------------------------------------------
@@ -270,11 +345,15 @@ def device_prefetch(batch_iter: Iterable[Dict[str, np.ndarray]], mesh,
 # ---------------------------------------------------------------------------
 
 def save_iterator_state(iterator, path: str) -> None:
-    """Persist a grain DatasetIterator's position as JSON."""
+    """Persist a grain DatasetIterator's position as JSON (atomically:
+    a crash mid-write must not leave a truncated state file that poisons
+    the next resume)."""
     import json
 
-    with open(path, "w") as f:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
         json.dump(iterator.get_state(), f)
+    os.replace(tmp, path)
 
 
 def restore_iterator_state(iterator, path: str) -> bool:

@@ -67,13 +67,19 @@ def read_tfrecords(path: str, verify_crc: bool = True) -> Iterator[bytes]:
             if len(header) != 8:
                 raise IOError(f"{path}: truncated length header")
             (length,) = struct.unpack("<Q", header)
-            (length_crc,) = struct.unpack("<I", f.read(4))
+            crc_bytes = f.read(4)
+            if len(crc_bytes) != 4:  # keep the documented IOError contract
+                raise IOError(f"{path}: truncated length crc")
+            (length_crc,) = struct.unpack("<I", crc_bytes)
             if verify_crc and length_crc != _masked_crc(header):
                 raise IOError(f"{path}: corrupt length crc")
             data = f.read(length)
             if len(data) != length:
                 raise IOError(f"{path}: truncated record")
-            (data_crc,) = struct.unpack("<I", f.read(4))
+            crc_bytes = f.read(4)
+            if len(crc_bytes) != 4:
+                raise IOError(f"{path}: truncated data crc")
+            (data_crc,) = struct.unpack("<I", crc_bytes)
             if verify_crc and data_crc != _masked_crc(data):
                 raise IOError(f"{path}: corrupt data crc")
             yield data
@@ -270,22 +276,33 @@ def example_to_post(data: bytes) -> Dict:
     }
 
 
-def write_sharded_tfrecords(examples: Iterable[bytes], out_dir: str,
-                            basename: str, num_shards: int) -> List[str]:
-    """Shard-writer matching the reference converter's layout
-    (``<basename>-00000-of-00005.tfrecord``)."""
+def _write_sharded(examples: Iterable[bytes], out_dir: str, basename: str,
+                   num_shards: int, ext: str, make_writer) -> List[str]:
+    """Round-robin shard writer shared by both record formats.  Writers
+    are opened one at a time under try/finally so a failing constructor
+    (disk full, bad path) cannot leak the handles already opened."""
     os.makedirs(out_dir, exist_ok=True)
     paths = [os.path.join(
-        out_dir, f"{basename}-{i:05d}-of-{num_shards:05d}.tfrecord")
+        out_dir, f"{basename}-{i:05d}-of-{num_shards:05d}.{ext}")
         for i in range(num_shards)]
-    writers = [TFRecordWriter(p) for p in paths]
+    writers: List = []
     try:
+        for p in paths:
+            writers.append(make_writer(p))
         for i, ex in enumerate(examples):
             writers[i % num_shards].write(ex)
     finally:
         for w in writers:
             w.close()
     return paths
+
+
+def write_sharded_tfrecords(examples: Iterable[bytes], out_dir: str,
+                            basename: str, num_shards: int) -> List[str]:
+    """Shard-writer matching the reference converter's layout
+    (``<basename>-00000-of-00005.tfrecord``)."""
+    return _write_sharded(examples, out_dir, basename, num_shards,
+                          "tfrecord", TFRecordWriter)
 
 
 def read_sharded(pattern: str, verify_crc: bool = True) -> Iterator[bytes]:
@@ -307,18 +324,9 @@ def write_sharded_arrayrecords(examples: Iterable[bytes], out_dir: str,
     """Shard-writer producing <basename>-%05d-of-%05d.arrayrecord files."""
     from array_record.python.array_record_module import ArrayRecordWriter
 
-    os.makedirs(out_dir, exist_ok=True)
-    paths = [os.path.join(
-        out_dir, f"{basename}-{i:05d}-of-{num_shards:05d}.arrayrecord")
-        for i in range(num_shards)]
-    writers = [ArrayRecordWriter(p, "group_size:1") for p in paths]
-    try:
-        for i, ex in enumerate(examples):
-            writers[i % num_shards].write(ex)
-    finally:
-        for w in writers:
-            w.close()
-    return paths
+    return _write_sharded(examples, out_dir, basename, num_shards,
+                          "arrayrecord",
+                          lambda p: ArrayRecordWriter(p, "group_size:1"))
 
 
 def read_sharded_arrayrecords(pattern: str) -> Iterator[bytes]:

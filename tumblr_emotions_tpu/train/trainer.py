@@ -152,13 +152,12 @@ def _parse_scopes(trainable_scopes: str) -> Tuple[str, ...]:
 
 
 def _path_in_scopes(path: Tuple[str, ...], scopes: Tuple[str, ...]) -> bool:
-    # slim-style scope matching on path-segment boundaries ("Logits"
-    # must NOT match "AuxLogits"); flax keys may contain "/", so
-    # split the joined path back into segments.
-    joined = "/".join("/".join(path).split("/"))
-    return any(joined == s or joined.startswith(s + "/")
-               or f"/{s}/" in f"/{joined}/"
-               for s in scopes)
+    # slim-style scope matching on path-segment boundaries ("Logits" must
+    # NOT match "AuxLogits").  Wrapping the joined path in "/"s makes one
+    # substring test cover every segment position (start, middle, end) —
+    # flax keys that themselves contain "/" are segmented the same way.
+    joined = "/".join(path)
+    return any(f"/{s}/" in f"/{joined}/" for s in scopes)
 
 
 def stop_frozen_gradients(params, trainable_scopes: str):
@@ -373,7 +372,15 @@ class Trainer:
 
     def fit(self, state: TrainState, batches: Iterable[Dict[str, np.ndarray]],
             num_steps: Optional[int] = None,
-            eval_batches: Optional[Callable[[], Iterable]] = None) -> TrainState:
+            eval_batches: Optional[Callable[[], Iterable]] = None,
+            input_iterator=None) -> TrainState:
+        """Train for ``num_steps``.  ``eval_batches`` (a callable returning
+        a fresh pass over the eval split) is evaluated at every checkpoint
+        interval and at the end, with ``eval/*`` summaries written.
+        ``input_iterator`` (a resumable grain iterator, if the stream has
+        one underneath) has its position saved next to each checkpoint so
+        a restart resumes at the exact record (see
+        ``restore_input_iterator``)."""
         if self._compiled_train is None:
             self.compile()
         t = self.cfg.train
@@ -417,13 +424,31 @@ class Trainer:
                     })
                     last_t, last_step = now, step
                 if self._ckpt_mgr is not None and step % t.checkpoint_every == 0:
-                    self.save_checkpoint(state)
+                    self.save_checkpoint(state, input_iterator=input_iterator)
+                    if eval_batches is not None:
+                        self._eval_and_log(state, eval_batches, step, writer)
         finally:
             profiler.stop_if_active()
             writer.flush()
         if self._ckpt_mgr is not None:
-            self.save_checkpoint(state)
+            self.save_checkpoint(state, input_iterator=input_iterator)
+        if eval_batches is not None:
+            self._eval_and_log(state, eval_batches, step, writer)
+            writer.flush()
         return state
+
+    def _eval_and_log(self, state: TrainState,
+                      eval_batches: Callable[[], Iterable],
+                      step: int, writer) -> Dict:
+        summary = self.evaluate(state, eval_batches())
+        log.info("eval @ step %d: accuracy %.4f loss %.4f (n=%d)", step,
+                 summary.get("accuracy", 0.0), summary.get("loss", 0.0),
+                 summary.get("count", 0))
+        writer.write_scalars(step, {
+            "eval/accuracy": float(summary.get("accuracy", 0.0)),
+            "eval/loss": float(summary.get("loss", 0.0)),
+        })
+        return summary
 
     def evaluate(self, state: TrainState,
                  batches: Iterable[Dict[str, np.ndarray]],
@@ -521,7 +546,7 @@ class Trainer:
                     max_to_keep=self.cfg.train.keep_checkpoints, create=True))
         return self._ckpt_mgr
 
-    def save_checkpoint(self, state: TrainState) -> None:
+    def save_checkpoint(self, state: TrainState, input_iterator=None) -> None:
         import orbax.checkpoint as ocp
 
         mgr = self.checkpoint_manager()
@@ -530,6 +555,25 @@ class Trainer:
                      {"params": state.params, "batch_stats": state.batch_stats,
                       "opt_state": state.opt_state, "step": state.step})))
         mgr.wait_until_finished()
+        if input_iterator is not None and hasattr(input_iterator, "get_state"):
+            from tumblr_emotions_tpu.data import pipeline
+
+            pipeline.save_iterator_state(input_iterator,
+                                         self._input_state_path())
+
+    def _input_state_path(self) -> str:
+        return str(self.checkpoint_manager().directory) + "/input_iterator.json"
+
+    def restore_input_iterator(self, iterator) -> bool:
+        """Restore the input position saved with the latest checkpoint.
+        Returns False when there is no saved state or the iterator is not
+        resumable (e.g. a plain generator)."""
+        if iterator is None or not hasattr(iterator, "set_state"):
+            return False
+        from tumblr_emotions_tpu.data import pipeline
+
+        return pipeline.restore_iterator_state(iterator,
+                                               self._input_state_path())
 
     def restore_latest(self, state: TrainState) -> Optional[TrainState]:
         """slim-Supervisor-style resume: restore the latest checkpoint if one
