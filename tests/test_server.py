@@ -300,3 +300,76 @@ def test_runner_failure_is_visible_in_stats():
         assert snap["errors"] >= 1, snap
     finally:
         p.close()
+
+
+def test_overload_fast_fails_and_queue_stays_bounded():
+    """Backpressure: with the batcher stalled, the bounded queue fills and
+    further submits raise PredictorOverloaded immediately (no unbounded
+    request-body accumulation); once the stall clears, queued requests
+    still complete."""
+    from tumblr_emotions_tpu.server import PredictorOverloaded
+
+    started, release = threading.Event(), threading.Event()
+
+    def stalling_runner(image, tokens, lengths):
+        started.set()
+        assert release.wait(30), "test never released the runner"
+        return _fake_runner()(image, tokens, lengths)
+
+    p = BatchedPredictor(stalling_runner, batch_size=1, host_size=32,
+                         max_delay_ms=1.0, decode_threads=1, max_queue=2)
+    try:
+        jpg = _jpeg_bytes()
+        f_running = p.submit(image=jpg)   # pulled by the batcher, stalls
+        assert started.wait(10)
+        queued = [p.submit(image=jpg) for _ in range(2)]  # fills max_queue
+        rejected = 0
+        for _ in range(5):
+            try:
+                p.submit(image=jpg)
+            except PredictorOverloaded:
+                rejected += 1
+        assert rejected == 5
+        assert p._queue.qsize() <= 2  # bounded: rejected bodies not held
+        assert p.stats.snapshot(1)["rejected"] == 5
+        release.set()
+        assert f_running.result(timeout=30)["top"] in EMOTIONS
+        for f in queued:
+            assert f.result(timeout=30)["top"] in EMOTIONS
+    finally:
+        release.set()
+        p.close()
+
+
+def test_http_overload_returns_503_with_retry_after():
+    started, release = threading.Event(), threading.Event()
+
+    def stalling_runner(image, tokens, lengths):
+        started.set()
+        assert release.wait(30)
+        return _fake_runner()(image, tokens, lengths)
+
+    p = BatchedPredictor(stalling_runner, batch_size=1, host_size=32,
+                         max_delay_ms=1.0, decode_threads=1, max_queue=1)
+    server = EmotionHTTPServer(p, host="127.0.0.1", port=0)
+    server.serve_background()
+    try:
+        host, port = server.server_address[:2]
+        jpg = _jpeg_bytes()
+        f_running = p.submit(image=jpg)   # stall the batcher
+        assert started.wait(10)
+        p.submit(image=jpg)               # fill the queue
+        req = urllib.request.Request(f"http://{host}:{port}/predict",
+                                     data=jpg, method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=10)
+            assert False, "expected HTTP 503"
+        except urllib.error.HTTPError as e:
+            assert e.code == 503
+            assert e.headers.get("Retry-After") == "1"
+            assert "queue full" in json.loads(e.read())["error"]
+        release.set()
+        assert f_running.result(timeout=30)["top"] in EMOTIONS
+    finally:
+        release.set()
+        server.close()

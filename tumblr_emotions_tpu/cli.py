@@ -577,6 +577,7 @@ def cmd_serve(args) -> int:
         needs_image=cfg.model in ("image", "joint"),
         vocab=vocab, max_len=cfg.text.max_len,
         max_delay_ms=args.max_delay_ms,
+        max_queue=args.max_queue or None,
         decode_threads=cfg.data.num_workers, emotions=emotions)
     # Pay the compile before accepting traffic.
     warm_img = (np.zeros((B, S, S, 3), np.uint8)
@@ -972,6 +973,9 @@ def main(argv=None) -> int:
     p.add_argument("--host-size", type=int, default=347,
                    help="host-side decoded/resized image side")
     p.add_argument("--request-timeout", type=float, default=60.0)
+    p.add_argument("--max-queue", type=int, default=0,
+                   help="bounded request queue; full -> fast-fail 503 "
+                        "(0 = default 8 device batches of headroom)")
     p.add_argument("--dp", action="store_true",
                    help="shard serving batches over all local devices")
     p.set_defaults(fn=cmd_serve)

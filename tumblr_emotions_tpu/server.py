@@ -57,6 +57,14 @@ class _Request:
     t_enqueue: float = field(default_factory=time.perf_counter)
 
 
+class PredictorOverloaded(RuntimeError):
+    """Raised by ``submit`` when the bounded request queue is full.
+
+    Fast-fail backpressure: under sustained overload the server sheds load
+    immediately (HTTP 503 + Retry-After) instead of queueing request bodies
+    without bound until the process OOMs."""
+
+
 class ServerStats:
     """Thread-safe serving counters + a bounded latency reservoir."""
 
@@ -65,6 +73,7 @@ class ServerStats:
         self.requests = 0
         self.responses = 0
         self.errors = 0
+        self.rejected = 0
         self.batches = 0
         self.batched_rows = 0
         self._lat = deque(maxlen=reservoir)
@@ -78,9 +87,20 @@ class ServerStats:
             self.errors += n_errors
             self._lat.extend(latencies)
 
+    def record_errors(self, n_errors: int) -> None:
+        """Errors outside a successful device batch (runner failures):
+        counted without bumping the batch/occupancy counters a second
+        time — ``_run_batch`` may already have recorded its batch."""
+        with self._lock:
+            self.errors += n_errors
+
     def record_request(self) -> None:
         with self._lock:
             self.requests += 1
+
+    def record_rejected(self) -> None:
+        with self._lock:
+            self.rejected += 1
 
     def snapshot(self, batch_size: int) -> Dict:
         with self._lock:
@@ -92,6 +112,7 @@ class ServerStats:
                 "requests": self.requests,
                 "responses": self.responses,
                 "errors": self.errors,
+                "rejected": self.rejected,
                 "batches": self.batches,
                 "mean_batch_occupancy": round(
                     self.batched_rows / max(self.batches, 1) / batch_size, 3),
@@ -117,6 +138,7 @@ class BatchedPredictor:
                  max_len: int = 50,
                  max_delay_ms: float = 5.0,
                  decode_threads: int = 8,
+                 max_queue: Optional[int] = None,
                  emotions: Sequence[str] = EMOTIONS):
         if needs_image is False and vocab is None:
             raise ValueError("text-only serving needs a vocabulary")
@@ -133,8 +155,20 @@ class BatchedPredictor:
         self._image_buf: Optional[np.ndarray] = None
         self._token_buf: Optional[np.ndarray] = None
         self._length_buf: Optional[np.ndarray] = None
-        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        # Bounded: under sustained overload submit() fast-fails with
+        # PredictorOverloaded instead of queueing request bodies (each
+        # holding decoded-image-sized bytes) without limit.  Default
+        # capacity = 8 device batches of headroom.
+        self.max_queue = (8 * self.batch_size if max_queue is None
+                          else int(max_queue))
+        self._queue: "queue.Queue[_Request]" = queue.Queue(
+            maxsize=self.max_queue)
         self._stop = threading.Event()
+        # Serializes submit()'s closed-check+put against close(): without
+        # it a submitter that passed the check could enqueue after close()
+        # drained the queue, leaving its future to hang until the client
+        # timeout (the batcher thread is already dead at that point).
+        self._submit_lock = threading.Lock()
         self._thread = threading.Thread(target=self._loop, daemon=True,
                                         name="tet-batcher")
         self._thread.start()
@@ -144,16 +178,28 @@ class BatchedPredictor:
     def submit(self, image: Optional[bytes] = None,
                text: Optional[str] = None) -> Future:
         """Enqueue one post; the Future resolves to
-        ``{"top": emotion, "probs": {emotion: p, ...}}``."""
-        if self._stop.is_set():
-            raise RuntimeError("predictor is closed")
+        ``{"top": emotion, "probs": {emotion: p, ...}}``.
+
+        Raises :class:`PredictorOverloaded` when the bounded queue is full
+        (shed load now; the client should retry after a short backoff) and
+        ``RuntimeError`` after ``close()``."""
         if self.needs_image and image is None:
             raise ValueError("this model serves images; image bytes required")
         if self.vocab is not None and not self.needs_image and text is None:
             raise ValueError("text-only model; text required")
-        self.stats.record_request()
         fut: Future = Future()
-        self._queue.put(_Request(image=image, text=text, future=fut))
+        with self._submit_lock:
+            if self._stop.is_set():
+                raise RuntimeError("predictor is closed")
+            try:
+                self._queue.put_nowait(
+                    _Request(image=image, text=text, future=fut))
+            except queue.Full:
+                self.stats.record_rejected()
+                raise PredictorOverloaded(
+                    f"request queue full ({self.max_queue} waiting); "
+                    "retry after backoff") from None
+        self.stats.record_request()
         return fut
 
     def predict(self, image: Optional[bytes] = None,
@@ -161,10 +207,12 @@ class BatchedPredictor:
         return self.submit(image, text).result(timeout=timeout)
 
     def close(self) -> None:
-        self._stop.set()
+        with self._submit_lock:
+            self._stop.set()
         self._thread.join(timeout=5.0)
-        # Fail queued (and raced-in) requests immediately instead of
-        # leaving their futures to hang until the client's timeout.
+        # Fail queued requests immediately instead of leaving their futures
+        # to hang until the client's timeout; the lock above guarantees no
+        # new put can land after the drain.
         while True:
             try:
                 r = self._queue.get_nowait()
@@ -194,12 +242,22 @@ class BatchedPredictor:
             try:
                 self._run_batch(items)
             except BaseException as e:  # never kill the batcher thread
+                # Fail only futures _run_batch did not already settle.
+                # record_batch is the LAST statement of every _run_batch
+                # path, so reaching here means this batch was never
+                # recorded: count newly-failed futures plus per-image
+                # decode failures (done with an exception) exactly once,
+                # without bumping the batch/occupancy counters for a batch
+                # that produced no device results.
+                failed = 0
                 for r in items:
                     if not r.future.done():
                         r.future.set_exception(e)
-                # A runner failure must show in /stats, not just in the
-                # per-request 500s: count every row as an error.
-                self.stats.record_batch(0, [], n_errors=len(items))
+                        failed += 1
+                    elif (r.future.cancelled()
+                          or r.future.exception() is not None):
+                        failed += 1
+                self.stats.record_errors(failed)
 
     def _decode(self, items: List[_Request]) -> List[Optional[np.ndarray]]:
         """Decode+resize each request's JPEG; per-request error isolation
@@ -290,11 +348,14 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # quiet by default
         pass
 
-    def _json(self, code: int, payload: Dict) -> None:
+    def _json(self, code: int, payload: Dict,
+              extra_headers: Optional[Dict[str, str]] = None) -> None:
         body = json.dumps(payload).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(body)))
+        for k, v in (extra_headers or {}).items():
+            self.send_header(k, v)
         self.end_headers()
         self.wfile.write(body)
 
@@ -329,6 +390,10 @@ class _Handler(BaseHTTPRequestHandler):
             result = self.predictor.predict(image=image, text=text,
                                             timeout=self.request_timeout)
             self._json(200, result)
+        except PredictorOverloaded as e:
+            # Backpressure: shed load with an explicit retry hint instead
+            # of queueing unboundedly (the bounded-queue contract).
+            self._json(503, {"error": str(e)}, {"Retry-After": "1"})
         except ValueError as e:
             self._json(400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001 — request-scoped failure
