@@ -232,12 +232,26 @@ def test_fit_saves_input_position_and_runs_eval(text_setup, tmp_path):
     trainer.fit(state, it, num_steps=3, eval_batches=eval_batches,
                 input_iterator=it)
     assert eval_calls, "eval_batches was never evaluated"
+    # One iterator-state file PER kept checkpoint step (advisor r3): a
+    # restore of ANY kept checkpoint finds its matching input position.
     assert os.path.exists(os.path.join(str(tmp_path / "ckpt"),
-                                       "input_iterator.json"))
+                                       "input_iterator_2.json"))
+    assert os.path.exists(os.path.join(str(tmp_path / "ckpt"),
+                                       "input_iterator_3.json"))
 
     # A fresh iterator restores to the saved position (3 batches consumed).
     it2 = _FakeResumableIter(batch_list)
     assert trainer.restore_input_iterator(it2)
     assert it2.pos == 3
+    # Restoring the OLDER kept checkpoint pairs with ITS position.
+    it3 = _FakeResumableIter(batch_list)
+    assert trainer.restore_input_iterator(it3, step=2)
+    assert it3.pos == 2
+    # Legacy layout (single overwritten file) still restores.
+    legacy = _FakeResumableIter(batch_list)
+    os.rename(os.path.join(str(tmp_path / "ckpt"), "input_iterator_3.json"),
+              os.path.join(str(tmp_path / "ckpt"), "input_iterator.json"))
+    assert trainer.restore_input_iterator(legacy)
+    assert legacy.pos == 3
     # Plain generators are skipped gracefully.
     assert not trainer.restore_input_iterator(iter(batch_list))

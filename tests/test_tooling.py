@@ -554,3 +554,67 @@ def test_autotune_custom_candidates_not_served_default_cache(tmp_path):
         cache_path=cache, key="prog",
         on_result=lambda o, t: seen.append(o))
     assert best2 == {} and seen  # measured, not served from best1's entry
+
+
+def test_tpu_jit_program_dependent_rejection_falls_back(monkeypatch, caplog):
+    """A flag set the probe accepts can still fail to compile the REAL
+    program; the first flagged call must fall back to a plain jit with a
+    warning (advisor r3) — but only when no donated buffer was consumed."""
+    import logging
+
+    import jax
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.utils import compile_opts
+
+    opts = {"xla_fake_flag_for_test": "true"}
+    # Pretend the trivial probe accepted the flags by name.
+    monkeypatch.setitem(compile_opts._PROBE_CACHE,
+                        frozenset(opts.items()), True)
+    real_jit = jax.jit
+
+    def fake_jit(fn, **kw):
+        if kw.pop("compiler_options", None):
+            def boom(*a, **k):
+                raise RuntimeError("program-dependent rejection")
+            return boom
+        return real_jit(fn, **kw)
+
+    monkeypatch.setattr(compile_opts.jax, "jit", fake_jit)
+    f = compile_opts.tpu_jit(lambda x: x + 1, compiler_options=opts)
+    with caplog.at_level(logging.WARNING, "tumblr_emotions_tpu"):
+        out = f(jnp.asarray(2.0))
+    assert float(out) == 3.0
+    assert any("falling back" in r.message for r in caplog.records)
+    assert float(f(jnp.asarray(5.0))) == 6.0  # stays on the plain path
+
+
+def test_tpu_jit_reraises_after_donation_consumed(monkeypatch):
+    """If the flagged call fails AFTER execution began (donated buffer
+    deleted), retrying would poke deleted buffers: it must re-raise."""
+    import jax
+    import jax.numpy as jnp
+
+    from tumblr_emotions_tpu.utils import compile_opts
+
+    opts = {"xla_fake_flag_for_test": "true"}
+    monkeypatch.setitem(compile_opts._PROBE_CACHE,
+                        frozenset(opts.items()), True)
+    real_jit = jax.jit
+
+    def fake_jit(fn, **kw):
+        if kw.pop("compiler_options", None):
+            def boom(*a, **k):
+                for leaf in jax.tree_util.tree_leaves(a[0]):
+                    leaf.delete()  # simulate: execution consumed the donation
+                raise RuntimeError("runtime failure mid-execution")
+            return boom
+        return real_jit(fn, **kw)
+
+    monkeypatch.setattr(compile_opts.jax, "jit", fake_jit)
+    f = compile_opts.tpu_jit(lambda s, x: (s + x, x), compiler_options=opts,
+                             donate_argnums=(0,))
+    state = jax.device_put(jnp.asarray(1.0))
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="mid-execution"):
+        f(state, jnp.asarray(2.0))

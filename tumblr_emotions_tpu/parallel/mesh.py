@@ -51,6 +51,13 @@ def shard_batch(mesh: Mesh, batch):
 
     Uses ``jax.device_put`` with a NamedSharding — the host->device copy is
     async, which is what the double-buffered pipeline relies on.
+
+    Multi-host meshes (``jax.process_count() > 1``): each process holds
+    only ITS slice of the global batch (per-host input sharding,
+    ``distributed.host_shard_options``), so the global array is assembled
+    from process-local data — the leading axis of the result is
+    ``process_count *`` the local batch.  Leaves that are already global
+    jax.Arrays (a re-shard of a prefetched batch) pass through.
     """
     if mesh.devices.size == 1:
         # Uncommitted placement: committing arrays to an explicit device (or
@@ -58,4 +65,10 @@ def shard_batch(mesh: Mesh, batch):
         # environment's remote-TPU runtime (measured 22 s vs 0.12 s/step).
         return jax.tree_util.tree_map(jax.device_put, batch)
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        def place(x):
+            if isinstance(x, jax.Array) and not x.is_fully_addressable:
+                return x
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.tree_util.tree_map(place, batch)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -383,9 +383,10 @@ class Trainer:
         ``restore_input_iterator``)."""
         if self._compiled_train is None:
             self.compile()
+        state = self._place_state(state)
         t = self.cfg.train
         num_steps = num_steps if num_steps is not None else t.num_steps
-        rng = jax.random.PRNGKey(t.seed)
+        rng = self._place_state(jax.random.PRNGKey(t.seed))
         it = iter(batches)
         writer = SummaryWriter(t.log_dir)
         profiler = ProfilerHook(t.log_dir or "/tmp/tumblr_emotions_trace",
@@ -450,11 +451,22 @@ class Trainer:
         })
         return summary
 
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Multi-host: turn host-local state leaves (fresh init / numpy
+        restore) into replicated GLOBAL arrays so the pjit'd step accepts
+        them.  Single-process runs pass through — jit places uncommitted
+        leaves itself, and committing on a 1-device mesh trips this
+        environment's remote-runtime slow path (see ``compile``)."""
+        if jax.process_count() == 1:
+            return state
+        return jax.tree_util.tree_map(self._ensure_global, state)
+
     def evaluate(self, state: TrainState,
                  batches: Iterable[Dict[str, np.ndarray]],
                  class_names=None) -> Dict:
         if self._compiled_eval is None:
             self.compile()
+        state = self._place_state(state)
         total = None
         loss_sum, count = 0.0, 0
         for batch in batches:
@@ -550,28 +562,91 @@ class Trainer:
         import orbax.checkpoint as ocp
 
         mgr = self.checkpoint_manager()
-        mgr.save(int(state.step),
-                 args=ocp.args.StandardSave(jax.device_get(
-                     {"params": state.params, "batch_stats": state.batch_stats,
-                      "opt_state": state.opt_state, "step": state.step})))
-        mgr.wait_until_finished()
+        step = int(jax.device_get(state.step))
+        # Input position FIRST, one file PER STEP (advisor r3): a crash
+        # between the two writes leaves at worst an orphan iterator file
+        # (pruned below), never a checkpoint paired with a stale position;
+        # and restoring an older kept checkpoint finds ITS matching file.
         if input_iterator is not None and hasattr(input_iterator, "get_state"):
             from tumblr_emotions_tpu.data import pipeline
 
             pipeline.save_iterator_state(input_iterator,
-                                         self._input_state_path())
+                                         self._input_state_path(step))
+        tree = {"params": state.params, "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state, "step": state.step}
+        if jax.process_count() > 1:
+            # Multi-host: every process calls save() (orbax synchronizes
+            # internally — gating on process 0 would deadlock its barriers)
+            # with GLOBAL jax.Arrays, so each shard is written exactly once
+            # (primary host for replicated leaves).  device_get'ing to
+            # host numpy and writing from every process would race N
+            # writers on the same files.
+            tree = jax.tree_util.tree_map(self._ensure_global, tree)
+        else:
+            tree = jax.device_get(tree)
+        mgr.save(step, args=ocp.args.StandardSave(tree))
+        mgr.wait_until_finished()
+        self._prune_input_states()
 
-    def _input_state_path(self) -> str:
-        return str(self.checkpoint_manager().directory) + "/input_iterator.json"
+    def _ensure_global(self, x):
+        """Leaf -> globally-addressable replicated jax.Array (multi-host
+        save path).  Already-global arrays (compiled-step outputs) pass
+        through; host-local values (fresh init, a restored numpy tree) are
+        identical on every process by construction (same seed / same
+        checkpoint), so assembling them as fully-replicated is exact."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x
+        repl = NamedSharding(self.mesh, P())
+        return jax.make_array_from_process_local_data(repl, np.asarray(x))
 
-    def restore_input_iterator(self, iterator) -> bool:
-        """Restore the input position saved with the latest checkpoint.
-        Returns False when there is no saved state or the iterator is not
-        resumable (e.g. a plain generator)."""
+    def _input_state_path(self, step: Optional[int] = None) -> str:
+        """Iterator-state file for ``step`` (None = the legacy single file).
+        Multi-host runs get per-process files: each host checkpoints its
+        OWN input shard's position."""
+        d = str(self.checkpoint_manager().directory)
+        if step is None:
+            return f"{d}/input_iterator.json"
+        proc = (f".proc{jax.process_index()}"
+                if jax.process_count() > 1 else "")
+        return f"{d}/input_iterator_{step}{proc}.json"
+
+    def _prune_input_states(self) -> None:
+        """Drop iterator-state files whose step is no longer kept by the
+        checkpoint manager (mirrors ``max_to_keep``)."""
+        import glob as glob_lib
+        import os
+        import re
+
+        mgr = self.checkpoint_manager()
+        keep = {int(s) for s in mgr.all_steps()}
+        proc = (f"\\.proc{jax.process_index()}"
+                if jax.process_count() > 1 else "")
+        pat = re.compile(rf"input_iterator_(\d+){proc}\.json$")
+        for p in glob_lib.glob(
+                str(mgr.directory) + "/input_iterator_*.json"):
+            m = pat.search(p)
+            if m and int(m.group(1)) not in keep:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+
+    def restore_input_iterator(self, iterator,
+                               step: Optional[int] = None) -> bool:
+        """Restore the input position saved with the checkpoint at ``step``
+        (default: the latest).  Returns False when there is no saved state
+        or the iterator is not resumable (e.g. a plain generator)."""
         if iterator is None or not hasattr(iterator, "set_state"):
             return False
         from tumblr_emotions_tpu.data import pipeline
 
+        mgr = self.checkpoint_manager()
+        if step is None:
+            step = mgr.latest_step()
+        if step is not None and pipeline.restore_iterator_state(
+                iterator, self._input_state_path(int(step))):
+            return True
+        # Legacy layout (pre-round-4 checkpoints): one overwritten file.
         return pipeline.restore_iterator_state(iterator,
                                                self._input_state_path())
 

@@ -117,15 +117,46 @@ def options_accepted(opts: Dict[str, str]) -> bool:
     return _PROBE_CACHE[key]
 
 
+def _donation_consumed(donate_argnums, args) -> bool:
+    """True iff any donated ``jax.Array`` leaf was deleted — i.e. the failed
+    call got past compilation into execution (donation only consumes
+    buffers when the executable actually runs)."""
+    if not donate_argnums:
+        return False
+    nums = ((donate_argnums,) if isinstance(donate_argnums, int)
+            else tuple(donate_argnums))
+    for i in nums:
+        if i >= len(args):
+            continue
+        for leaf in jax.tree_util.tree_leaves(args[i]):
+            if getattr(leaf, "is_deleted", None) and leaf.is_deleted():
+                return True
+    return False
+
+
 def tpu_jit(fn: Callable, *, compiler_options: Optional[Dict[str, str]] = None,
             **jit_kwargs: Any) -> Callable:
     """``jax.jit`` with the tuned TPU compiler options and a safe fallback.
 
     Returns a wrapper that, on first call, probes whether the backend
-    accepts the options (see :func:`options_accepted`) and compiles with
-    them if so; otherwise it uses an unflagged jit (CPU, or a runtime
+    accepts the options by NAME (see :func:`options_accepted`) and compiles
+    with them if so; otherwise it uses an unflagged jit (CPU, or a runtime
     whose compile helper refuses the flags).
+
+    The probe uses a trivial program, so a flag set can still be rejected
+    for the REAL program at its first compile (program-dependent
+    rejection).  That first flagged call is therefore guarded: if it fails
+    before any donated buffer was consumed (compilation precedes
+    execution, so donated args are still live — checked directly), the
+    wrapper logs a warning and falls back to the plain jit instead of
+    hard-failing.  A failure AFTER donation is a genuine run-time error on
+    a consumed state and re-raises — retrying would poke deleted buffers.
+    (For non-donating programs this means a transient first-call run-time
+    error gets one plain-jit retry with a logged warning; later calls
+    fail loudly as before.)
     """
+    import logging
+
     opts = (default_options() if compiler_options is None
             else compiler_options)
     plain = jax.jit(fn, **jit_kwargs)
@@ -134,10 +165,24 @@ def tpu_jit(fn: Callable, *, compiler_options: Optional[Dict[str, str]] = None,
     state = {"use": None}
 
     def call(*args, **kwargs):
-        if state["use"] is None:
-            state["use"] = (flagged if opts and options_accepted(opts)
-                            else plain)
-        return state["use"](*args, **kwargs)
+        if state["use"] is not None:
+            return state["use"](*args, **kwargs)
+        if not (opts and options_accepted(opts)):
+            state["use"] = plain
+            return plain(*args, **kwargs)
+        try:
+            out = flagged(*args, **kwargs)
+            state["use"] = flagged
+            return out
+        except Exception as e:  # noqa: BLE001 — see docstring contract
+            if _donation_consumed(jit_kwargs.get("donate_argnums"), args):
+                raise
+            logging.getLogger("tumblr_emotions_tpu").warning(
+                "compiler options %s rejected for this program (%s: %s); "
+                "falling back to an unflagged jit", dict(opts),
+                type(e).__name__, e)
+            state["use"] = plain
+            return plain(*args, **kwargs)
 
     def _cache_size():
         active = state["use"] if state["use"] is not None else flagged
