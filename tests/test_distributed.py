@@ -75,6 +75,12 @@ def test_two_process_distributed_psum(tmp_path):
     # XLA_FLAGS must not leak into the children).
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_NUM_CPU_DEVICES", None)
+    # Pure-CPU children must not register the axon TPU plugin (see
+    # test_config5_rehearsal._env: registered children of a registered
+    # pytest parent compile through the remote service and crawl).
+    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                "PALLAS_AXON_TPU_GEN", "AXON_LOOPBACK_RELAY"):
+        env.pop(var, None)
 
     procs = []
     outs = []
@@ -200,6 +206,9 @@ def test_two_process_train_save_resume_matches_single_process(tmp_path):
     env["JAX_PLATFORMS"] = "cpu"
     env.pop("XLA_FLAGS", None)
     env.pop("JAX_NUM_CPU_DEVICES", None)
+    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                "PALLAS_AXON_TPU_GEN", "AXON_LOOPBACK_RELAY"):
+        env.pop(var, None)
 
     def run(nproc, ckpt_dir, tag):
         addr = f"127.0.0.1:{_free_port()}"

@@ -228,3 +228,78 @@ def test_maybe_initialize_auto_calls_jax_distributed(monkeypatch):
     calls.clear()
     distributed.maybe_initialize("10.0.0.2:9000", 4, 1)
     assert calls and calls[0][1]["coordinator_address"] == "10.0.0.2:9000"
+
+
+def test_device_prefetch_iterator_tracks_consumed_position(dataset_dir, v):
+    """DevicePrefetchIterator.get_state must return the CONSUMED position,
+    not the prefetched-ahead one: the producer runs the grain iterator up
+    to depth+1 batches ahead, and checkpointing that position would skip
+    the in-flight batches on resume."""
+    import jax
+
+    from tumblr_emotions_tpu.parallel import create_mesh
+
+    pat = os.path.join(dataset_dir, "train-*.tfrecord")
+    mesh = create_mesh()
+    cfg = pipeline.PipelineConfig(batch_size=8, host_size=32, max_len=4,
+                                  shuffle=False, num_epochs=1)
+
+    def labels_of(b):
+        return np.asarray(b["label"]).tolist()
+
+    # Ground truth: the unwrapped stream's batches in order.
+    want = [labels_of(b) for b in pipeline.batches(pat, v, cfg)]
+    assert len(want) == 4  # 37 // 8
+
+    it = pipeline.batches(pat, v, cfg)
+    pre = pipeline.DevicePrefetchIterator(it, mesh, depth=2)
+    got = [labels_of(next(pre)) for _ in range(2)]
+    assert got == want[:2]
+    # By now the producer has pulled ahead; the underlying iterator's own
+    # state would over-skip, the wrapper's must not.
+    st = pre.get_state()
+    pre.close()
+
+    it2 = pipeline.batches(pat, v, cfg)
+    it2.set_state(st)
+    pre2 = pipeline.DevicePrefetchIterator(it2, mesh, depth=2)
+    rest = [labels_of(b) for b in pre2]
+    assert rest == want[2:], "resume did not continue at the exact batch"
+    assert isinstance(next(iter(rest)), list)
+    # Device placement happened (jax arrays out of the wrapper).
+    it3 = pipeline.batches(pat, v, cfg)
+    pre3 = pipeline.DevicePrefetchIterator(it3, mesh, depth=1)
+    b = next(pre3)
+    assert isinstance(b["image"], jax.Array)
+    pre3.close()
+
+
+def test_device_prefetch_iterator_set_state_and_errors(dataset_dir, v):
+    from tumblr_emotions_tpu.parallel import create_mesh
+
+    pat = os.path.join(dataset_dir, "train-*.tfrecord")
+    mesh = create_mesh()
+    cfg = pipeline.PipelineConfig(batch_size=8, host_size=32, max_len=4,
+                                  shuffle=False, num_epochs=1)
+    it = pipeline.batches(pat, v, cfg)
+    mid = pipeline.DevicePrefetchIterator(it, mesh, depth=1)
+    # set_state delegates before iteration; afterwards it must refuse.
+    st0 = it.get_state()
+    mid.set_state(st0)
+    next(mid)
+    with pytest.raises(RuntimeError, match="after iteration started"):
+        mid.set_state(st0)
+    mid.close()
+
+    # Producer errors surface; plain generators have no resumable state.
+    def bad_iter():
+        yield {"x": np.zeros((8, 3), np.float32)}
+        raise OSError("disk gone")
+
+    pre = pipeline.DevicePrefetchIterator(bad_iter(), mesh)
+    next(pre)
+    with pytest.raises(OSError, match="disk gone"):
+        next(pre)
+    gen = pipeline.DevicePrefetchIterator(iter([]), mesh)
+    with pytest.raises(ValueError, match="no resumable iterator"):
+        gen.get_state()

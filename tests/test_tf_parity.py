@@ -190,3 +190,48 @@ def test_full_tower_logits_match_tf_kernels(living_model):
                                 num_classes=9).numpy()
     assert np.std(tf_logits) > 0.1
     np.testing.assert_allclose(flax_logits, tf_logits, atol=1e-4, rtol=0)
+
+
+def test_composed_chain_jpeg_to_logits_matches_tf(living_model):
+    """SURVEY.md §4 composed-chain fixture (VERDICT r3 #8): the per-stage
+    oracles (decode bit-exact, preprocess ~2e-6, tower 1e-4) compose —
+    same JPEG bytes through OUR C++ decode -> fused eval preprocess ->
+    tower vs a fully TF-composed pipeline (tf.io.decode_jpeg ->
+    convert_image_dtype -> central_crop 0.875 -> TF1 resize_bilinear ->
+    (x-0.5)*2 -> raw-tf.nn tower), logits within the 1e-4 budget."""
+    import io
+
+    from PIL import Image
+
+    from tumblr_emotions_tpu.data import jpeg as jpeg_lib
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+
+    model, variables, _ = living_model
+    rng = np.random.RandomState(7)
+    jpegs = []
+    for hw in ((345, 517), (400, 300)):
+        img = (np.cumsum(np.cumsum(rng.rand(*hw, 3), 0), 1) * 11 % 255
+               ).astype(np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, "JPEG", quality=92)
+        jpegs.append(buf.getvalue())
+
+    for data in jpegs:
+        # OUR chain: C++ libjpeg decode -> device preprocess -> Flax tower.
+        raw = jpeg_lib.decode(data, dct_method="islow", fancy=True)
+        x = preprocess_for_eval(jnp.asarray(raw[None]), dtype=jnp.float32)
+        ours, _ = model.apply(variables, x, train=False)
+        ours = np.asarray(ours)
+
+        # TF chain, end to end on the same bytes.
+        timg = tf.io.decode_jpeg(data, channels=3,
+                                 dct_method="INTEGER_ACCURATE")
+        tx = tf.image.convert_image_dtype(timg, tf.float32)
+        tx = tf.image.central_crop(tx, 0.875)
+        tx = tf.compat.v1.image.resize_bilinear(tx[None], (299, 299),
+                                                align_corners=False)
+        tx = (tx - 0.5) * 2.0
+        theirs = tf_inception_v3(tx.numpy(), jax.device_get(variables),
+                                 num_classes=9).numpy()
+        assert np.std(theirs) > 0.05, "degenerate logits: vacuous parity"
+        np.testing.assert_allclose(ours, theirs, atol=1e-4, rtol=0)

@@ -208,9 +208,49 @@ def test_cli_analyze(tmp_path):
                      "--vocab", str(tmp_path / "v.txt"),
                      "--checkpoint-dir", ckpt, "--steps", "30",
                      "--batch-size", "16", "--max-len", "8"]) == 0
+    report = tmp_path / "examples.md"
     assert cli.main(["analyze", "--preset", "text_only", "--csv", str(csv_path),
                      "--vocab", str(tmp_path / "v.txt"),
-                     "--checkpoint-dir", ckpt, "--max-len", "8"]) == 0
+                     "--checkpoint-dir", ckpt, "--max-len", "8",
+                     "--examples", str(report), "--top-k", "2"]) == 0
+    md = report.read_text()
+    # Per-emotion sections with resolved post ids/texts, plus the
+    # confusion-pair browser (SURVEY §2a #13 qualitative examples).
+    for emotion in EMOTIONS:
+        assert f"## {emotion}" in md
+    assert "Confusion pairs" in md
+    assert "feeling" in md  # post text resolved into the report
+
+
+def test_qualitative_examples_structure():
+    from tumblr_emotions_tpu import analysis
+
+    rng = np.random.RandomState(0)
+    C = 4
+    emotions = ["a", "b", "c", "d"]
+    labels = np.repeat(np.arange(C), 25)
+    logits = rng.randn(100, C) * 0.1
+    logits[np.arange(100), labels] += 2.0  # mostly correct
+    rows = np.arange(0, 100, 10)
+    logits[rows, (labels[rows] + 1) % C] += 4.0  # planted confusions
+    probs = np.exp(logits) / np.exp(logits).sum(1, keepdims=True)
+    res = analysis.qualitative_examples(probs, labels, emotions=emotions,
+                                        k=3)
+    assert res["n"] == 100 and 0.8 < res["accuracy"] < 1.0
+    for e in emotions:
+        block = res["per_emotion"][e]
+        assert block["count"] == 25
+        assert len(block["correct"]) <= 3
+        # hits sorted by confidence, misses carry the predicted class
+        ps = [x["prob"] for x in block["correct"]]
+        assert ps == sorted(ps, reverse=True)
+        for m in block["misclassified"]:
+            assert m["pred"] != e and 0 <= m["index"] < 100
+    # planted (c -> c+1) confusions dominate
+    top = res["confusions"][0]
+    assert top["count"] >= 2 and top["examples"]
+    text = analysis.format_examples(res)
+    assert "top confusion pairs" in text
 
 
 def test_cli_two_phase_and_trained_embeddings(tmp_path):

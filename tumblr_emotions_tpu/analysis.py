@@ -72,6 +72,117 @@ def format_circumplex(result: Dict) -> str:
     return "\n".join(lines)
 
 
+def qualitative_examples(probs: np.ndarray, labels: np.ndarray,
+                         emotions: Sequence[str] = EMOTIONS,
+                         k: int = 5) -> Dict:
+    """Per-emotion example browsing (SURVEY.md §2a #13's "qualitative
+    examples" — the half of the reference's notebook analysis beyond the
+    circumplex): for each emotion, the ``k`` most-confident CORRECT
+    predictions and the ``k`` most-confident MISCLASSIFICATIONS (examples
+    of that true emotion the model pushed elsewhere), plus the most
+    frequent confusion pairs overall.
+
+    ``probs`` [N, C] softmax outputs, ``labels`` [N] true ids.  Examples
+    are referenced by their row index into the split's record order — the
+    caller resolves indices to post ids/texts (``cli analyze`` does).
+    """
+    probs = np.asarray(probs, np.float64)
+    labels = np.asarray(labels)
+    preds = probs.argmax(axis=1)
+    C = probs.shape[1]
+    per_emotion: Dict[str, Dict] = {}
+    for c in range(C):
+        mine = np.nonzero(labels == c)[0]
+        correct = mine[preds[mine] == c]
+        wrong = mine[preds[mine] != c]
+        c_order = correct[np.argsort(-probs[correct, c])][:k]
+        w_order = wrong[np.argsort(-probs[wrong, preds[wrong]])][:k]
+        per_emotion[emotions[c]] = {
+            "count": int(mine.size),
+            "accuracy": float((preds[mine] == c).mean()) if mine.size else 0.0,
+            "correct": [{"index": int(i), "prob": float(probs[i, c])}
+                        for i in c_order],
+            "misclassified": [{"index": int(i),
+                               "pred": emotions[int(preds[i])],
+                               "prob": float(probs[i, preds[i]]),
+                               "true_prob": float(probs[i, c])}
+                              for i in w_order],
+        }
+    # Confusion pairs (true != pred), most frequent first, with the
+    # highest-confidence exemplar indices for browsing.
+    pairs: Dict[Tuple[int, int], List[int]] = {}
+    for i in np.nonzero(preds != labels)[0]:
+        pairs.setdefault((int(labels[i]), int(preds[i])), []).append(int(i))
+    confusions = []
+    for (t, p), idxs in sorted(pairs.items(), key=lambda kv: -len(kv[1])):
+        idxs = sorted(idxs, key=lambda i: -probs[i, preds[i]])
+        confusions.append({"true": emotions[t], "pred": emotions[p],
+                           "count": len(idxs), "examples": idxs[:k]})
+    return {"per_emotion": per_emotion, "confusions": confusions,
+            "n": int(len(labels)),
+            "accuracy": float((preds == labels).mean()) if len(labels)
+            else 0.0}
+
+
+def format_examples(result: Dict, lookup=None, max_confusions: int = 10
+                    ) -> str:
+    """Human-readable qualitative report.  ``lookup(index) -> str`` resolves
+    a row index to a display string (post id / text snippet); defaults to
+    the bare index."""
+    show = lookup or (lambda i: f"#{i}")
+    lines = [f"qualitative examples over {result['n']} posts "
+             f"(overall accuracy {result['accuracy']:.3f})", ""]
+    for emotion, block in result["per_emotion"].items():
+        lines.append(f"== {emotion} (n={block['count']}, "
+                     f"acc {block['accuracy']:.3f}) ==")
+        for ex in block["correct"]:
+            lines.append(f"  hit  p={ex['prob']:.3f}  {show(ex['index'])}")
+        for ex in block["misclassified"]:
+            lines.append(f"  miss p={ex['prob']:.3f} -> {ex['pred']:<10} "
+                         f"{show(ex['index'])}")
+        lines.append("")
+    lines.append("top confusion pairs (true -> predicted):")
+    for c in result["confusions"][:max_confusions]:
+        lines.append(f"  {c['true']:<10} -> {c['pred']:<10} x{c['count']}")
+    return "\n".join(lines)
+
+
+def write_examples_report(result: Dict, path: str, lookup=None,
+                          title: str = "Qualitative emotion analysis"
+                          ) -> str:
+    """Markdown report next to the circumplex plot: per-emotion top-k
+    confident hits/misses with resolved post text, and a confusion-pair
+    browser.  ``lookup(index) -> str`` as in :func:`format_examples`."""
+    show = lookup or (lambda i: f"#{i}")
+    md = [f"# {title}", "",
+          f"{result['n']} posts; overall accuracy "
+          f"{result['accuracy']:.3f}.", ""]
+    for emotion, block in result["per_emotion"].items():
+        md.append(f"## {emotion} — n={block['count']}, "
+                  f"accuracy {block['accuracy']:.3f}")
+        if block["correct"]:
+            md.append("\nMost-confident correct predictions:\n")
+            md += [f"- `p={ex['prob']:.3f}` {show(ex['index'])}"
+                   for ex in block["correct"]]
+        if block["misclassified"]:
+            md.append("\nMost-confident misclassifications:\n")
+            md += [f"- `p={ex['prob']:.3f}` predicted **{ex['pred']}** "
+                   f"(true-class p={ex['true_prob']:.3f}) "
+                   f"{show(ex['index'])}"
+                   for ex in block["misclassified"]]
+        md.append("")
+    md.append("## Confusion pairs\n")
+    md.append("| true | predicted | count | examples |")
+    md.append("|---|---|---|---|")
+    for c in result["confusions"]:
+        exs = "; ".join(show(i) for i in c["examples"][:3])
+        md.append(f"| {c['true']} | {c['pred']} | {c['count']} | {exs} |")
+    md.append("")
+    with open(path, "w") as f:
+        f.write("\n".join(md))
+    return path
+
+
 def plot_circumplex(result: Dict, path: str) -> str:
     """Render the circumplex as a labeled scatter (the reference notebooks'
     figure).  One neutral mark hue; identity rides the direct text labels

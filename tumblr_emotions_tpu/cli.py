@@ -58,6 +58,9 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                         "then the remaining steps train end-to-end — the "
                         "reference's warm-start recipe")
     p.add_argument("--seed", type=int, default=-1)
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="checkpoint (and in-train eval) interval in steps")
+    p.add_argument("--log-every", type=int, default=0)
     # Multi-host (SURVEY.md §2c DCN row): auto-detected from the cluster
     # environment; pass --coordinator-address to force explicit init.
     p.add_argument("--coordinator-address", default="")
@@ -88,6 +91,10 @@ def _build_config(args):
         t["trainable_scopes"] = args.trainable_scopes
     if args.seed >= 0:
         t["seed"] = args.seed
+    if getattr(args, "checkpoint_every", 0):
+        t["checkpoint_every"] = args.checkpoint_every
+    if getattr(args, "log_every", 0):
+        t["log_every"] = args.log_every
     if t:
         cfg = cfg.replace(train=cfg.train.replace(**t))
     if args.max_len:
@@ -241,6 +248,28 @@ def cmd_train(args) -> int:
         log.info("resumed at step %d%s", int(state.step),
                  " (input position restored)" if resumed_input else "")
     stream = it if resumed_input else itertools.chain([first], it)
+    # Periodic in-train eval (slim's train-alongside-eval workflow without
+    # the second terminal): a fresh pass over the eval split at every
+    # checkpoint interval, writing eval/* summaries.
+    eval_batches = None
+    if args.eval_records or args.eval_csv:
+        eval_args = argparse.Namespace(**vars(args))
+        eval_args.records, eval_args.csv = args.eval_records, args.eval_csv
+        eval_batches = lambda: _make_batches(eval_args, cfg, vocab,  # noqa: E731
+                                             train=False)
+    input_it = it if hasattr(it, "get_state") else None
+    if args.prefetch_depth > 0:
+        # Double-buffered device feed (the reference's C++ queue runners,
+        # SURVEY.md §2b): host decode overlaps device compute.  The wrapper
+        # tracks the CONSUMED position, so exact-record checkpoint/resume
+        # is preserved despite the producer running ahead.
+        from tumblr_emotions_tpu.data import pipeline
+
+        stream = pipeline.DevicePrefetchIterator(
+            stream, trainer.mesh, depth=args.prefetch_depth,
+            state_source=input_it)
+        if input_it is not None:
+            input_it = stream
     if args.head_steps and int(state.step) < args.head_steps:
         # Phase 1: freeze everything but the classification heads.
         heads = "Logits,AuxLogits,JointLogits,JointHidden,TextLogits,TextHidden"
@@ -258,7 +287,7 @@ def cmd_train(args) -> int:
         log.info("phase 1: training heads only for %d steps", args.head_steps)
         head_state = head_trainer.fit(
             head_state, stream, num_steps=args.head_steps - int(state.step),
-            input_iterator=it)
+            eval_batches=eval_batches, input_iterator=input_it)
         # Phase 2 resumes with a fresh full-model optimizer.
         state = _tr.TrainState(step=head_state.step, params=head_state.params,
                                batch_stats=head_state.batch_stats,
@@ -266,7 +295,7 @@ def cmd_train(args) -> int:
         log.info("phase 2: fine-tuning end-to-end")
     state = trainer.fit(state, stream,
                         num_steps=cfg.train.num_steps - int(state.step),
-                        input_iterator=it)
+                        eval_batches=eval_batches, input_iterator=input_it)
     log.info("finished at step %d", int(state.step))
     return 0
 
@@ -386,7 +415,55 @@ def cmd_analyze(args) -> int:
     print(analysis.format_circumplex(result))
     if args.plot:
         print(f"wrote {analysis.plot_circumplex(result, args.plot)}")
+    if args.examples:
+        # Qualitative half of the reference's analysis (SURVEY §2a #13):
+        # per-emotion top-k confident hits/misses + confusion browsing,
+        # with row indices resolved back to post ids/texts.  The eval
+        # split is read unshuffled (train=False), so row i of the
+        # collected probs IS record/post i of the split.
+        ex = analysis.qualitative_examples(probs, labels,
+                                           emotions=emotions, k=args.top_k)
+        lookup = _post_lookup(args, ex)
+        print()
+        print(analysis.format_examples(ex, lookup=lookup))
+        path = analysis.write_examples_report(ex, args.examples,
+                                              lookup=lookup)
+        print(f"wrote {path}")
     return 0
+
+
+def _post_lookup(args, result):
+    """index -> "id: text-snippet" resolver for qualitative reports.
+
+    Reads ONLY the referenced records (random access via the offset
+    index), never the whole split.
+    """
+    needed = set()
+    for block in result["per_emotion"].values():
+        needed.update(e["index"] for e in block["correct"])
+        needed.update(e["index"] for e in block["misclassified"])
+    for c in result["confusions"]:
+        needed.update(c["examples"])
+    cache: Dict[int, str] = {}
+    if args.records:
+        from tumblr_emotions_tpu.data import pipeline as pipeline_lib
+        from tumblr_emotions_tpu.data import records as records_lib
+
+        idx = pipeline_lib.TFRecordIndex(args.records)
+        for i in needed:
+            if 0 <= i < len(idx):
+                post = records_lib.example_to_post(idx[i])
+                text = " ".join(str(post.get("text", "")).split())[:80]
+                cache[i] = f"[{post.get('id', i)}] {text}"
+    elif args.csv:
+        from tumblr_emotions_tpu.data.csv_dataset import load_posts_csv
+
+        posts = load_posts_csv(args.csv, emotions=_load_emotions(args))
+        for i in needed:
+            if 0 <= i < len(posts):
+                text = " ".join(posts[i].text.split())[:80]
+                cache[i] = f"[{posts[i].post_id or i}] {text}"
+    return lambda i: cache.get(i, f"#{i}")
 
 
 def cmd_infer(args) -> int:
@@ -926,6 +1003,22 @@ def main(argv=None) -> int:
         if name == "analyze":
             p.add_argument("--plot", default="",
                            help="write the circumplex figure (PNG/SVG) here")
+            p.add_argument("--examples", default="",
+                           help="write the qualitative-examples markdown "
+                                "report (per-emotion top-k hits/misses + "
+                                "confusion pairs) here")
+            p.add_argument("--top-k", type=int, default=5,
+                           help="examples per emotion in the report")
+        if name == "train":
+            p.add_argument("--eval-records", default="",
+                           help="eval-split TFRecord glob: evaluate at every "
+                                "checkpoint interval, writing eval/* "
+                                "summaries (in-train eval)")
+            p.add_argument("--eval-csv", default="",
+                           help="eval-split posts CSV (text-only models)")
+            p.add_argument("--prefetch-depth", type=int, default=2,
+                           help="device batches kept in flight by the "
+                                "background feeder (0 disables prefetch)")
         if name == "eval":
             p.add_argument("--follow", action="store_true",
                            help="continuous mode: evaluate each new "

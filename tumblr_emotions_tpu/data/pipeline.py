@@ -338,6 +338,114 @@ def device_prefetch(batch_iter: Iterable[Dict[str, np.ndarray]], mesh,
                 break
 
 
+class DevicePrefetchIterator:
+    """Resumable :func:`device_prefetch`: the production train feed.
+
+    Same double-buffering contract (a background thread keeps ``depth``
+    sharded batches in flight on device, overlapping host decode with
+    device compute — the reference's C++ queue-runner replacement), PLUS
+    exact-record checkpointing: prefetching runs the underlying grain
+    iterator AHEAD of training by up to ``depth+1`` batches, so saving
+    ``state_source.get_state()`` at a checkpoint would skip the in-flight
+    batches on resume.  The producer therefore snapshots the iterator
+    state right after pulling each batch and ships it through the queue;
+    ``get_state()`` returns the state of the last batch the TRAINER
+    consumed, which is exactly what must be restored.
+
+    ``state_source`` is the resumable iterator underneath ``batches``
+    (they may differ: ``cmd_train`` re-chains an already-pulled first
+    batch in front).  ``set_state`` is only valid before iteration starts;
+    restore into ``state_source`` first, then wrap.
+    """
+
+    _END = object()
+
+    def __init__(self, batches: Iterable[Dict[str, np.ndarray]], mesh,
+                 depth: int = 2, state_source=None):
+        if state_source is None and hasattr(batches, "get_state"):
+            state_source = batches
+        self._batches = batches
+        self._mesh = mesh
+        self._state_source = state_source
+        self._queue: "queue.Queue" = queue.Queue(maxsize=max(1, depth))
+        self._stop = threading.Event()
+        self._consumed_state = None
+        self._thread: Optional[threading.Thread] = None
+
+    # -- resumable-iterator protocol (plugs into save/restore_iterator_state)
+
+    def get_state(self):
+        if self._consumed_state is not None:
+            return self._consumed_state
+        if self._state_source is not None:
+            return self._state_source.get_state()
+        raise ValueError("no resumable iterator underneath this prefetcher")
+
+    def set_state(self, state) -> None:
+        if self._thread is not None:
+            raise RuntimeError("set_state after iteration started: restore "
+                               "the underlying iterator before wrapping")
+        if self._state_source is None:
+            raise ValueError("no resumable iterator underneath this prefetcher")
+        self._state_source.set_state(state)
+
+    # -- iteration -----------------------------------------------------------
+
+    def _put(self, item) -> bool:
+        while not self._stop.is_set():
+            try:
+                self._queue.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
+
+    def _producer(self) -> None:
+        try:
+            from tumblr_emotions_tpu.parallel import shard_batch
+
+            for batch in self._batches:
+                st = (self._state_source.get_state()
+                      if self._state_source is not None else None)
+                if not self._put((shard_batch(self._mesh, batch), st)):
+                    return
+            self._put(self._END)
+        except BaseException as e:  # noqa: BLE001 — a decode/IO failure
+            self._put(e)            # must not look like clean end-of-input
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._producer,
+                                            daemon=True,
+                                            name="tet-device-prefetch")
+            self._thread.start()
+        item = self._queue.get()
+        if item is self._END:
+            self.close()
+            raise StopIteration
+        if isinstance(item, BaseException):
+            self.close()
+            raise item
+        batch, st = item
+        if st is not None:
+            self._consumed_state = st
+        return batch
+
+    def close(self) -> None:
+        """Stop the producer and drop buffered device batches so HBM frees
+        promptly (abandoning the iterator without close leaks nothing —
+        the producer notices within 0.2 s — but close is immediate)."""
+        self._stop.set()
+        while True:
+            try:
+                self._queue.get_nowait()
+            except queue.Empty:
+                break
+
+
 # ---------------------------------------------------------------------------
 # Input-pipeline checkpointing (SURVEY.md §5 checkpoint/resume: the reference
 # restarts its input queues from scratch; grain iterators are stateful and
