@@ -90,20 +90,22 @@ def _setup_on_device(model, batch, src, calib_n=64):
 
 
 def _measure(fused, dev_batches, batch, steps):
-    import jax
-    import jax.numpy as jnp
-
     # .sum() keeps the readback to one scalar: through the remote-TPU
     # tunnel of this environment, block_until_ready() is NOT synchronous —
-    # only a host readback proves execution finished, so the timed region
-    # ends with a scalar fetch depending on every step's output.
+    # only a host readback proves execution finished.  Device execution is
+    # serial per stream, so reading the LAST step's scalar proves every
+    # step finished; the readback RTT plus the first dispatch are a FIXED
+    # ~24 ms per timed window (measured, docs/PERFORMANCE.md round 4), so
+    # steps must be large enough to amortize it — at B=768 steps=30 reads
+    # ~1% below the chip's true steady-state rate, steps=150 ~0.2%.
     float(fused(dev_batches[0]))  # warmup / compile
     rates = []
     for _ in range(5):
         t0 = time.perf_counter()
-        outs = [fused(dev_batches[i % len(dev_batches)])
-                for i in range(steps)]
-        float(jnp.stack(outs).sum())
+        out = None
+        for i in range(steps):
+            out = fused(dev_batches[i % len(dev_batches)])
+        float(out)
         rates.append(batch * steps / (time.perf_counter() - t0))
     return sorted(rates)[2]  # median of 5: remote-link/service jitter
 
@@ -117,7 +119,7 @@ def main() -> int:
     from tumblr_emotions_tpu.train import build_model
 
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 768
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 150
     which = sys.argv[3] if len(sys.argv) > 3 and \
         not sys.argv[3].startswith("--") else "int8"
     if which not in ("int8", "bf16", "pallas"):
@@ -137,7 +139,12 @@ def main() -> int:
     if which == "int8":
         from tumblr_emotions_tpu.ops.quant import QuantizedInceptionV3
 
-        engine = QuantizedInceptionV3(variables, calib, epilogue="shift")
+        # stem_s2d="pre": the preprocess emits the 2x2 space-to-depth
+        # layout straight from its resize einsums (free) and conv1a runs
+        # as a K=12 stride-1 conv — +0.9% whole-engine, measured
+        # interleaved (docs/PERFORMANCE.md round 4).
+        engine = QuantizedInceptionV3(variables, calib, epilogue="shift",
+                                      stem_s2d="pre")
     else:
         # Round-1 engine: BN-folded XLA convs, packed 1x1 branches, bf16.
         from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
@@ -146,7 +153,13 @@ def main() -> int:
                                   use_pallas=(which == "pallas"))
 
     def body(raw_u8):
-        x = preprocess_for_eval(raw_u8, dtype=jnp.bfloat16)
+        if which == "int8":
+            from tumblr_emotions_tpu.data.preprocessing import \
+                preprocess_for_eval_s2d
+
+            x = preprocess_for_eval_s2d(raw_u8, dtype=jnp.bfloat16)
+        else:
+            x = preprocess_for_eval(raw_u8, dtype=jnp.bfloat16)
         logits, _ = engine(x)
         return logits.astype(jnp.float32).sum()
 

@@ -153,3 +153,88 @@ def test_uint8_preprocess_path_agrees(live_model):
     cos = (a * b).sum(1) / (np.linalg.norm(a, axis=1)
                             * np.linalg.norm(b, axis=1) + 1e-9)
     assert cos.min() > 0.999, cos
+
+
+def test_preprocess_s2d_layout_matches_relayout():
+    """preprocess_for_eval_s2d must equal
+    space_to_depth_2x2(preprocess_for_eval(x)) on every real lane (the
+    odd-size padded parity lanes hold -1 vs 0 — inert, the s2d kernel's
+    padded taps are zero; see the function docstrings)."""
+    from tumblr_emotions_tpu.data.preprocessing import (
+        preprocess_for_eval, preprocess_for_eval_s2d)
+    from tumblr_emotions_tpu.ops.quant import _space_to_depth_2x2
+
+    rng = np.random.RandomState(0)
+    u8 = jnp.asarray(rng.randint(0, 256, (2, 347, 341, 3), dtype=np.uint8))
+    ref = np.asarray(_space_to_depth_2x2(
+        preprocess_for_eval(u8, dtype=jnp.float32)))
+    got = np.asarray(preprocess_for_eval_s2d(u8, dtype=jnp.float32))
+    assert got.shape == (2, 150, 150, 12)
+    # Padded lanes: last row's dy=1 lanes (6..11), last col's dx=1 lanes
+    # (3..5 and 9..11) — channel order (dy, dx, c).
+    valid = np.ones(got.shape, bool)
+    valid[:, -1, :, 6:] = False
+    valid[:, :, -1, 3:6] = False
+    valid[:, :, -1, 9:] = False
+    np.testing.assert_allclose(got[valid], ref[valid], atol=2e-6, rtol=0)
+    assert np.abs(ref[~valid]).max() == 0.0
+    assert (np.asarray(got)[~valid] == -1.0).all()
+
+
+def test_stem_s2d_pre_is_bit_exact():
+    """stem_s2d="pre" (caller supplies the s2d layout) must match the
+    plain stride-2 conv bit for bit, like stem_s2d=True does."""
+    from tumblr_emotions_tpu.ops.quant import _Int8Ops, _space_to_depth_2x2
+
+    rng = np.random.RandomState(0)
+    folded = {"Conv2d_1a_3x3": ((rng.randn(3, 3, 3, 32) * 0.1)
+                                .astype(np.float32),
+                                (rng.randn(32) * 0.01).astype(np.float32))}
+    scales = {"input": 0.011, "Conv2d_1a_3x3": 0.02}
+    q = jnp.asarray(rng.randint(-127, 128, (2, 299, 299, 3)).astype(np.int8))
+    for epi in ("f32", "shift"):
+        y0, _ = _Int8Ops(folded, scales, epilogue=epi).conv(
+            (q, scales["input"]), "Conv2d_1a_3x3", strides=(2, 2))
+        y1, _ = _Int8Ops(folded, scales, epilogue=epi, stem_s2d="pre"
+                         ).conv_s2d((_space_to_depth_2x2(q),
+                                     scales["input"]), "Conv2d_1a_3x3")
+        assert np.array_equal(np.asarray(y0), np.asarray(y1)), epi
+
+
+def test_s2d_pre_whole_engine_agrees(live_model):
+    """The s2d-direct serving front (preprocess_for_eval_s2d +
+    stem_s2d="pre") agrees with the normal-layout engine end to end."""
+    from tumblr_emotions_tpu.data.preprocessing import (
+        preprocess_for_eval, preprocess_for_eval_s2d)
+
+    model, variables, x = live_model
+    rng = np.random.RandomState(5)
+    raw = jnp.asarray(rng.randint(0, 256, (4, 347, 347, 3), dtype=np.uint8))
+    base = QuantizedInceptionV3(variables, calibration_images=x)
+    eng = QuantizedInceptionV3(variables, calibration_images=x,
+                               stem_s2d="pre")
+    l0, _ = jax.jit(lambda r: base(preprocess_for_eval(
+        r, dtype=jnp.bfloat16)))(raw)
+    l1, _ = jax.jit(lambda r: eng(preprocess_for_eval_s2d(
+        r, dtype=jnp.bfloat16)))(raw)
+    p0 = np.asarray(jax.nn.softmax(l0.astype(jnp.float32), -1))
+    p1 = np.asarray(jax.nn.softmax(l1.astype(jnp.float32), -1))
+    assert (p0.argmax(1) == p1.argmax(1)).all()
+    # Only bf16 einsum association order differs between the two fronts.
+    assert np.abs(p0 - p1).max() < 5e-3
+
+
+def test_int8_pool_mode_agrees(live_model):
+    """pool_mode="int8" (pre-pool requant, 1-byte pool input) stays within
+    the engine's own quantization-noise envelope of the f32-pool engine."""
+    model, variables, x = live_model
+    base = QuantizedInceptionV3(variables, calibration_images=x)
+    eng = QuantizedInceptionV3(variables, calibration_images=x,
+                               pool_mode="int8")
+    assert sum(k.endswith(":poolpre") for k in eng.scales) == 8
+    l0, _ = jax.jit(lambda v: base(v))(x)
+    l1, _ = jax.jit(lambda v: eng(v))(x)
+    p0 = np.asarray(jax.nn.softmax(l0.astype(jnp.float32), -1))
+    p1 = np.asarray(jax.nn.softmax(l1.astype(jnp.float32), -1))
+    assert (p0.argmax(1) == p1.argmax(1)).all()
+    assert np.abs(p0 - p1).max() < 5e-3

@@ -117,6 +117,56 @@ def preprocess_for_eval(images: jax.Array, height: int = 299, width: int = 299,
     return x * 2.0 - 1.0
 
 
+def preprocess_for_eval_s2d(images: jax.Array, height: int = 299,
+                            width: int = 299,
+                            central_fraction: float = 0.875,
+                            resize_method: str = "tf1",
+                            dtype: jnp.dtype = jnp.bfloat16) -> jax.Array:
+    """`preprocess_for_eval` emitting the 2x2 space-to-depth layout directly.
+
+    Returns [N, ceil(height/2), ceil(width/2), 4C] such that
+    ``space_to_depth_2x2(preprocess_for_eval(images))`` holds (channel
+    order (dy, dx, c); odd height/width zero-padded at the end) — the
+    input layout of the quantized engine's ``stem_s2d`` conv.  Instead of
+    resizing then relayouting (the relayout measured ~0.7 ms at B=768,
+    docs/PERFORMANCE.md round 3), the row/col interpolation matrices are
+    reshaped to [out/2, 2, in] so the two resize einsums PRODUCE the
+    (dy, dx) parity planes as separate minor output dims and the final
+    merge [2, 2, C] -> 4C is a free minor-dim reshape.  Same FLOPs, same
+    math (einsum contraction order differs, so bf16/f32 rounding can
+    differ by ~1 ulp from the non-s2d path).  Serving/bench path only;
+    the parity path keeps ``preprocess_for_eval``.
+    """
+    n, h, w, c = images.shape
+    x = images.astype(dtype)
+    if jnp.issubdtype(images.dtype, jnp.integer):
+        x = x / jnp.asarray(255.0, dtype)
+    if central_fraction and central_fraction < 1.0:
+        oh, ow, ch, cw = central_crop_sizes(h, w, central_fraction)
+        x = jax.lax.slice(x, (0, oh, ow, 0), (n, oh + ch, ow + cw, c))
+        h, w = ch, cw
+    rh = _interp_matrix_cached(height, h, resize_method)
+    rw = _interp_matrix_cached(width, w, resize_method)
+    ph, pw = -height % 2, -width % 2
+    rh3 = jnp.asarray(np.pad(rh, ((0, ph), (0, 0)))
+                      .reshape((height + ph) // 2, 2, h), dtype)
+    rw3 = jnp.asarray(np.pad(rw, ((0, pw), (0, 0)))
+                      .reshape((width + pw) // 2, 2, w), dtype)
+    prec = (jax.lax.Precision.HIGHEST if dtype == jnp.float32
+            else jax.lax.Precision.DEFAULT)
+    y = jnp.einsum("idh,nhwc->nidwc", rh3, x, precision=prec)
+    z = jnp.einsum("jew,nidwc->nijdec", rw3, y, precision=prec)
+    z = z.reshape(n, (height + ph) // 2, (width + pw) // 2, 4 * c)
+    # Note on the odd-size zero pad: space_to_depth_2x2 pads with 0.0
+    # while the (x*2 - 1) epilogue here turns the padded parity plane
+    # into -1.0.  That plane is INERT — the s2d-rearranged kernel's
+    # padded taps are exactly zero (int8 zero after quantization), so
+    # conv results are bit-identical either way; only a direct tensor
+    # comparison against space_to_depth_2x2(preprocess_for_eval(x)) must
+    # skip the padded lanes (tests/test_quant.py does).
+    return z * 2.0 - 1.0
+
+
 # ---------------------------------------------------------------------------
 # Training-time distortions (slim preprocess_for_train).
 # ---------------------------------------------------------------------------

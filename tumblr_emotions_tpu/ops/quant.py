@@ -197,6 +197,11 @@ class _CalibOps:
         return y.astype(self.dtype)
 
     def pool_act(self, pre, out_key):
+        if out_key is not None:
+            # Signed PRE-pool range: lets _Int8Ops requantize the pool
+            # branch to int8 before the average (pool_mode="int8"), so
+            # the conv->pool edge is 1 byte instead of 4.
+            self._record(f"{out_key}:poolpre", pre)
         y = jnp.maximum(_avgpool_3x3_same(pre), 0.0)
         if out_key is not None:
             self._record(out_key, y)
@@ -236,12 +241,14 @@ class _Int8Ops:
     """
 
     def __init__(self, folded, scales: Dict[str, float], dtype=jnp.bfloat16,
-                 epilogue: str = "f32", stem_s2d: bool = False):
+                 epilogue: str = "f32", stem_s2d=False,
+                 pool_mode: str = "f32"):
         self.folded = folded
         self.scales = scales
         self.dtype = dtype  # dtype of dequantized (non-int8) outputs
         self.epilogue = epilogue
         self.stem_s2d = stem_s2d
+        self.pool_mode = pool_mode
 
     def _quantize(self, y_f32, out_key):
         # Signed values: keep an explicit round (cheap only on the stem
@@ -312,11 +319,18 @@ class _Int8Ops:
         """Stride-2 VALID conv via the 2x2 space-to-depth input layout
         (VERDICT r2 weak #1: attacks the stem's C=3 lane waste by feeding
         the MXU K=12 instead of K=3).  Bit-exact vs ``conv``: the int8
-        kernel is rearranged after quantization."""
+        kernel is rearranged after quantization.
+
+        ``stem_s2d="pre"``: the input arrives ALREADY in s2d layout
+        (preprocess_for_eval_s2d emits it straight from the resize
+        einsums) so the on-device relayout — the ~0.7 ms that made
+        stem_s2d=True a net loss in round 3 — disappears."""
         q, s_x = t
         out_key = scope if out_key is _SELF else out_key
         w_q, const = self._weights(scope, s_x, out_key)
-        y = _conv_raw(_space_to_depth_2x2(q), jnp.asarray(_s2d_kernel(w_q)),
+        if self.stem_s2d != "pre":
+            q = _space_to_depth_2x2(q)
+        y = _conv_raw(q, jnp.asarray(_s2d_kernel(w_q)),
                       (1, 1), "VALID", jnp.int32)
         s_out = self.scales[out_key] if out_key is not None else None
         return self._apply_epilogue(y, const, s_out)
@@ -372,6 +386,30 @@ class _Int8Ops:
 
     def pool_act(self, pre, out_key):
         _, y, m, b = pre
+        s_q = (self.scales.get(f"{out_key}:poolpre")
+               if out_key is not None else None)
+        if out_key is not None and self.pool_mode == "int8" \
+                and s_q is not None:
+            s_out = self.scales[out_key]
+            # Requantize the pre-activation to SIGNED int8 at its own
+            # calibrated scale INSIDE the conv epilogue (the downcast
+            # fuses into the packed conv), average-pool 1-byte data with
+            # an s32 accumulator, then rescale to the block scale with
+            # the count_include_pad=False divisor folded in.  One extra
+            # rounding vs the f32 pool — covered by quantization_delta.
+            yq = jnp.clip(jnp.round(y.astype(jnp.float32)
+                                    * jnp.asarray(m / s_q)
+                                    + jnp.asarray(b / s_q)),
+                          _INT8_MIN, _INT8_MAX).astype(jnp.int8)
+            ssum = jax.lax.reduce_window(
+                yq.astype(jnp.int32), np.int32(0), jax.lax.add,
+                (1, 3, 3, 1), (1, 1, 1, 1), "SAME")
+            ones = jnp.ones(yq.shape[1:3], jnp.float32)[None, :, :, None]
+            n = jax.lax.reduce_window(ones, np.float32(0), jax.lax.add,
+                                      (1, 3, 3, 1), (1, 1, 1, 1), "SAME")
+            yf = ssum.astype(jnp.float32) * (jnp.asarray(s_q / s_out) / n) \
+                + 0.5
+            return jnp.clip(yf, 0.0, _INT8_MAX).astype(jnp.int8), s_out
         if out_key is not None:
             s_out = self.scales[out_key]
             # Pool the pre-activation: 1x1 conv + bias commutes with the
@@ -631,21 +669,26 @@ class QuantizedInceptionV3:
         |activation|; a value like 0.9995 clips outliers PTQ-style (rare
         spikes saturate instead of inflating every scale).
     stem_s2d: rewrite Conv2d_1a as a 2x2 space-to-depth stride-1 conv
-        (bit-exact; tests/test_quant.py).  Measured on v5e: the stride-2
-        conv itself is only ~0.6 ms at B=512 and the s2d input relayout
-        costs ~0.7 ms, so this is a net LOSS (9,187 vs 9,313 img/s) —
-        kept as a tested ablation, default off (docs/PERFORMANCE.md r3).
+        (bit-exact; tests/test_quant.py).  True: relayout the input on
+        device — measured on v5e as a net LOSS (9,187 vs 9,313 img/s; the
+        conv win ~0.45 ms < relayout cost ~0.7 ms, docs/PERFORMANCE.md
+        r3).  "pre": the caller feeds the s2d layout directly
+        (data/preprocessing.preprocess_for_eval_s2d emits it from the
+        resize einsums at zero extra cost), keeping the conv win without
+        the relayout.  Default off.
     """
 
     def __init__(self, variables: Dict, calibration_images: jax.Array,
                  dtype=jnp.bfloat16, epilogue: str = "shift",
-                 calibration_quantile=None, stem_s2d: bool = False):
+                 calibration_quantile=None, stem_s2d=False,
+                 pool_mode: str = "f32"):
         params = jax.device_get(variables["params"])
         stats = jax.device_get(variables.get("batch_stats", {}))
         self.folded = fold_batchnorm(params, stats)
         self.dtype = dtype
         self.epilogue = epilogue
         self.stem_s2d = stem_s2d
+        self.pool_mode = pool_mode
 
         calib = _CalibOps(self.folded, dtype=dtype,
                           quantile=calibration_quantile)
@@ -677,7 +720,8 @@ class QuantizedInceptionV3:
         """Preprocessed [B, 299, 299, 3] (float) — or an already-quantized
         ``(int8, scale)`` pair — -> (logits or None, feature [B, 2048])."""
         ops = _Int8Ops(self.folded, self.scales, dtype=self.dtype,
-                       epilogue=self.epilogue, stem_s2d=self.stem_s2d)
+                       epilogue=self.epilogue, stem_s2d=self.stem_s2d,
+                       pool_mode=self.pool_mode)
         net = _tower(ops, x)
         # Global average pool over min(8, spatial), exactly like
         # FusedInceptionV3 (slim's _reduced_kernel_size_for_small_input):
