@@ -107,7 +107,11 @@ def _measure(fused, dev_batches, batch, steps):
             out = fused(dev_batches[i % len(dev_batches)])
         float(out)
         rates.append(batch * steps / (time.perf_counter() - t0))
-    return sorted(rates)[2]  # median of 5: remote-link/service jitter
+    # (median, all 5 window rates): the spread is printed alongside the
+    # headline so a low driver reading is immediately attributable to
+    # service drift (wide/low spread) vs a real regression (tight spread
+    # below par) without cross-referencing the ledger (VERDICT r4 #9).
+    return sorted(rates)[2], rates
 
 
 def main() -> int:
@@ -172,12 +176,17 @@ def main() -> int:
 
     fused = tpu_jit(body)
 
-    ips = _measure(fused, dev_batches, batch, steps)
+    ips, windows = _measure(fused, dev_batches, batch, steps)
     print(json.dumps({
         "metric": "fused_preprocess_forward_throughput",
         "value": round(ips, 1),
         "unit": "images/sec/chip",
         "vs_baseline": round(ips / 10_000.0, 4),
+        "windows_img_s": [round(r, 1) for r in windows],
+        "window_spread_pct": round(
+            100.0 * (max(windows) - min(windows)) / ips, 2),
+        "steps_per_window": steps,
+        "batch": batch,
     }))
 
     if with_decode:

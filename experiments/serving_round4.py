@@ -60,7 +60,7 @@ def main() -> int:
     def measure(fn, b, opts=None):
         fused = tpu_jit(fn, compiler_options=opts)
         slices = [x[:b] for x in dev_batches]
-        return bench._measure(fused, slices, b, steps)
+        return bench._measure(fused, slices, b, steps)[0]
 
     results = {}
     for b in bs:

@@ -250,3 +250,114 @@ def test_two_process_train_save_resume_matches_single_process(tmp_path):
     # Multi-host checkpoint layout: exactly one copy of the saved tree on
     # disk (orbax wrote each shard once), readable by a fresh manager.
     assert (tmp_path / "ckpt_dist").exists()
+
+
+_EVAL_CHILD = textwrap.dedent("""
+    import json, sys
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import numpy as np
+
+    sys.path.insert(0, "__REPO__")
+    from tumblr_emotions_tpu.parallel import distributed, mesh as mesh_lib
+    from tumblr_emotions_tpu.config import get_preset
+    from tumblr_emotions_tpu.train import Trainer
+
+    pid, nproc, addr, out_path = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4])
+    if nproc > 1:
+        assert distributed.maybe_initialize(
+            coordinator_address=addr, num_processes=nproc, process_id=pid)
+        assert jax.process_count() == nproc
+
+    cfg = get_preset("text_only")
+    cfg = cfg.replace(
+        model="text",
+        text=cfg.text.replace(vocab_size=32, embed_dim=8, max_len=6,
+                              aggregator="mean"),
+        image=cfg.image.replace(num_classes=5),
+        train=cfg.train.replace(batch_size=8, eval_batch_size=8, seed=7))
+
+    # A deterministic 6-batch global eval split.  In the sharded run each
+    # process feeds a DISJOINT half (like cli._make_batches with
+    # shard_eval=True); the jitted eval step assembles the global batch
+    # across processes and returns globally-reduced statistics, so both
+    # runs must report identical global metrics.
+    def batch(i):
+        r = np.random.RandomState(500 + i)
+        return {"tokens": r.randint(1, 32, size=(8, 6)).astype(np.int32),
+                "lengths": np.full((8,), 6, np.int32),
+                "label": r.randint(0, 5, size=(8,)).astype(np.int32)}
+
+    # 7 batches: the 2-process shards are UNEVEN (4 vs 3), so the shorter
+    # shard must lockstep-pad with a zero-weight batch to keep the
+    # collective program in sync.
+    all_batches = [batch(i) for i in range(7)]
+    local = (all_batches if nproc == 1
+             else all_batches[pid::nproc])  # disjoint shard per process
+
+    mesh = mesh_lib.create_mesh()
+    trainer = Trainer(cfg, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0), all_batches[0])
+    summary = trainer.evaluate(state, iter(local))
+    with open(out_path, "w") as fh:
+        json.dump({"pid": pid, "accuracy": summary["accuracy"],
+                   "count": summary["count"],
+                   "loss": summary["loss"],
+                   "confusion": np.asarray(summary["confusion"]).tolist()},
+                  fh)
+""")
+
+
+def test_two_process_sharded_eval_matches_full_eval(tmp_path):
+    """Multi-host eval sharding (VERDICT r4 #6): two real processes each
+    feed a disjoint half of the split in lockstep; the collective eval
+    step's globally-reduced statistics must reproduce the single-process
+    full-split metrics exactly (integer statistics — no tolerance)."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "eval_child.py"
+    script.write_text(_EVAL_CHILD.replace("__REPO__", repo))
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_NUM_CPU_DEVICES", None)
+    for var in ("PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE",
+                "PALLAS_AXON_TPU_GEN", "AXON_LOOPBACK_RELAY"):
+        env.pop(var, None)
+
+    def run(nproc, tag):
+        addr = f"127.0.0.1:{_free_port()}"
+        procs, outs = [], []
+        for pid in range(nproc):
+            out = str(tmp_path / f"{tag}{pid}.json")
+            outs.append(out)
+            procs.append(subprocess.Popen(
+                [sys.executable, str(script), str(pid), str(nproc), addr,
+                 out],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT))
+        logs = []
+        for p in procs:
+            try:
+                log, _ = p.communicate(timeout=240)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail(f"{tag} eval child timed out")
+            logs.append(log.decode(errors="replace"))
+        for p, log_text in zip(procs, logs):
+            assert p.returncode == 0, log_text
+        return [json.load(open(o)) for o in outs]
+
+    sharded = run(2, "shard")
+    full = run(1, "full")[0]
+    assert full["count"] == 56
+    for r in sharded:
+        assert r["count"] == full["count"]
+        assert r["accuracy"] == full["accuracy"]
+        # Integer statistics match exactly; the loss sum is reduced in a
+        # different order (one device-side f32 sum over the 16-example
+        # global batch vs float64 accumulation of 8-example f32 sums), so
+        # it matches only to f32 rounding.
+        assert abs(r["loss"] - full["loss"]) < 1e-5 * max(1.0, full["loss"])
+        assert r["confusion"] == full["confusion"]

@@ -120,3 +120,132 @@ def test_joint_server_single_program(n_devices):
                         method="fuse")
     np.testing.assert_allclose(np.asarray(probs),
                                np.asarray(ep["Predictions"]), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# The shipped headline config (VERDICT r4 #1): serving must run the exact
+# program bench.py measures — s2d-emitting preprocess + stem_s2d="pre".
+# ---------------------------------------------------------------------------
+
+def _image_fixture(rng, n=8, num_classes=7):
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+
+    model = InceptionV3(num_classes=num_classes, depth_multiplier=0.25,
+                        min_depth=8, create_aux_logits=False)
+    raw = rng.randint(0, 256, (n, 330, 340, 3), dtype=np.uint8)
+    calib = preprocess_for_eval(jnp.asarray(raw), dtype=jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(1)}, calib[:1],
+                           train=False)
+    return model, variables, raw, calib
+
+
+def test_s2d_server_matches_bench_program_bitwise():
+    """data_parallel_server over a stem_s2d="pre" engine must compute the
+    SAME program bench.py measures: s2d preprocess -> s2d stem -> tower.
+    Same ops, same order => bit-identical probs on the same device."""
+    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval_s2d
+    from tumblr_emotions_tpu.parallel import mesh as mesh_lib
+
+    rng = np.random.RandomState(7)
+    _, variables, raw, calib = _image_fixture(rng)
+    engine = QuantizedInceptionV3(variables, calib, epilogue="shift",
+                                  stem_s2d="pre")
+    mesh = create_mesh(devices=jax.devices()[:1])
+    server = data_parallel_server(engine, mesh)
+    probs, feat = server(jnp.asarray(raw))
+
+    def bench_style(r):
+        logits, f = engine(preprocess_for_eval_s2d(r, dtype=jnp.bfloat16))
+        return jax.nn.softmax(logits.astype(jnp.float32), -1), f
+
+    p_ref, f_ref = jax.jit(bench_style)(jnp.asarray(raw))
+    np.testing.assert_array_equal(np.asarray(probs), np.asarray(p_ref))
+    np.testing.assert_array_equal(np.asarray(feat), np.asarray(f_ref))
+
+
+def test_s2d_server_agrees_with_float_front():
+    """The shipped s2d front vs the normal-layout float front: identical
+    int8 tower, only the preprocess einsum association differs (bf16), so
+    top-1 must match and probs stay within the engine's own quantization
+    envelope (same contract as tests/test_quant.py's engine-level test)."""
+    rng = np.random.RandomState(8)
+    _, variables, raw, calib = _image_fixture(rng)
+    mesh = create_mesh(devices=jax.devices()[:1])
+    base = QuantizedInceptionV3(variables, calib, epilogue="shift")
+    s2d = QuantizedInceptionV3(variables, calib, epilogue="shift",
+                               stem_s2d="pre")
+    p0, _ = data_parallel_server(base, mesh)(jnp.asarray(raw))
+    p1, _ = data_parallel_server(s2d, mesh)(jnp.asarray(raw))
+    p0, p1 = np.asarray(p0), np.asarray(p1)
+    assert (p0.argmax(1) == p1.argmax(1)).all()
+    assert np.abs(p0 - p1).max() < 5e-3
+
+
+def test_s2d_server_data_parallel_matches_single_device():
+    """The headline config sharded over the 8-device mesh equals the
+    single-device run (weights replicated, batch split on "data")."""
+    rng = np.random.RandomState(9)
+    _, variables, raw, calib = _image_fixture(rng)
+    engine = QuantizedInceptionV3(variables, calib, epilogue="shift",
+                                  stem_s2d="pre")
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    sharded = shard_batch(mesh, {"image": raw})["image"]
+    probs, _ = data_parallel_server(engine, mesh)(sharded)
+    assert probs.sharding.spec == jax.sharding.PartitionSpec("data")
+    p1, _ = data_parallel_server(
+        engine, create_mesh(devices=jax.devices()[:1]))(jnp.asarray(raw))
+    np.testing.assert_allclose(np.asarray(probs), np.asarray(p1), atol=2e-4)
+
+
+def test_s2d_engine_rejects_from_uint8():
+    """from_uint8 feeds the normal layout; an s2d-pre engine must refuse it
+    loudly rather than silently misinterpret the tensor."""
+    rng = np.random.RandomState(10)
+    _, variables, raw, calib = _image_fixture(rng, n=2)
+    engine = QuantizedInceptionV3(variables, calib, epilogue="shift",
+                                  stem_s2d="pre")
+    mesh = create_mesh(devices=jax.devices()[:1])
+    server = data_parallel_server(engine, mesh, from_uint8=True)
+    with pytest.raises(ValueError, match="s2d"):
+        server(jnp.asarray(raw))
+
+
+def test_build_forward_ships_s2d_front():
+    """cli serve/infer construct the served program via build_forward; its
+    default front must be the benchmarked s2d config, and the uint8/float
+    fronts must stay reachable."""
+    from tumblr_emotions_tpu.config import get_preset
+    from tumblr_emotions_tpu.ops import serving as serving_lib
+    from tumblr_emotions_tpu.train import Trainer
+
+    import dataclasses
+
+    cfg = get_preset("image_frozen")
+    cfg = dataclasses.replace(
+        cfg, image=dataclasses.replace(cfg.image, depth_multiplier=0.25,
+                                       min_depth=8,
+                                       create_aux_logits=False,
+                                       num_classes=7))
+    trainer = Trainer(cfg)
+    rng = np.random.RandomState(11)
+    _, variables, raw, calib = _image_fixture(rng, n=2)
+    mesh = create_mesh(devices=jax.devices()[:1])
+    outs = {}
+    for front in ("s2d", "uint8", "float"):
+        runner = serving_lib.build_forward(cfg, trainer, variables, mesh,
+                                           engine="int8",
+                                           calib_images=calib, front=front)
+        outs[front] = np.asarray(runner(jnp.asarray(raw), None, None))
+    # All fronts drive the same int8 tower: top-1 agreement.
+    assert (outs["s2d"].argmax(1) == outs["float"].argmax(1)).all()
+    assert (outs["s2d"].argmax(1) == outs["uint8"].argmax(1)).all()
+    # And the default IS s2d.
+    runner = serving_lib.build_forward(cfg, trainer, variables, mesh,
+                                       engine="int8", calib_images=calib)
+    np.testing.assert_array_equal(
+        np.asarray(runner(jnp.asarray(raw), None, None)), outs["s2d"])
+    with pytest.raises(ValueError, match="front"):
+        serving_lib.build_forward(cfg, trainer, variables, mesh,
+                                  engine="int8", calib_images=calib,
+                                  front="bogus")

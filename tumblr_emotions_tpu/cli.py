@@ -148,7 +148,7 @@ def _maybe_init_distributed(args) -> None:
         process_id=args.process_id if args.process_id >= 0 else None)
 
 
-def _make_batches(args, cfg, vocab, train: bool):
+def _make_batches(args, cfg, vocab, train: bool, shard_eval: bool = False):
     from tumblr_emotions_tpu.data import csv_dataset, pipeline
     from tumblr_emotions_tpu.parallel import distributed
 
@@ -166,9 +166,15 @@ def _make_batches(args, cfg, vocab, train: bool):
     if not args.records:
         raise SystemExit("need --records or --csv")
     # Per-host input sharding: in a multi-host run each process reads only
-    # its slice of the records (train only — eval must see every example).
+    # its slice of the records.  Train always shards; eval shards when the
+    # caller reduces metrics globally (Trainer.evaluate feeds the shards
+    # in lockstep through the collective eval step, which returns
+    # globally-reduced statistics — VERDICT r4 #6), so the split is
+    # covered exactly once across the pod instead of N times redundantly.
+    # Prediction-consuming paths (infer/analyze/serve-calib) stay
+    # unsharded: they read examples, not mergeable statistics.
     shard_index, shard_count = (distributed.host_shard_options()
-                                if train else (0, 1))
+                                if (train or shard_eval) else (0, 1))
     pcfg = pipeline.PipelineConfig(
         batch_size=bs, max_len=cfg.text.max_len, shuffle=train,
         seed=cfg.train.seed, num_epochs=None if train else 1,
@@ -256,7 +262,7 @@ def cmd_train(args) -> int:
         eval_args = argparse.Namespace(**vars(args))
         eval_args.records, eval_args.csv = args.eval_records, args.eval_csv
         eval_batches = lambda: _make_batches(eval_args, cfg, vocab,  # noqa: E731
-                                             train=False)
+                                             train=False, shard_eval=True)
     input_it = it if hasattr(it, "get_state") else None
     if args.prefetch_depth > 0:
         # Double-buffered device feed (the reference's C++ queue runners,
@@ -304,7 +310,8 @@ def cmd_eval(args) -> int:
     cfg = _build_config(args)
     emotions = _load_emotions(args)
     vocab = _load_vocab(args, cfg) if cfg.model in ("text", "joint") else None
-    batches = list(_make_batches(args, cfg, vocab, train=False))
+    batches = list(_make_batches(args, cfg, vocab, train=False,
+                                 shard_eval=True))
     trainer, state, cfg = _init_trainer_state(args, cfg, vocab, batches[0])
     # Eval batches may arrive as uint8 host images: use eval preprocessing.
     if trainer.preprocess is not None:
@@ -529,7 +536,7 @@ def cmd_infer(args) -> int:
                 resize_method=cfg.data.resize_method, dtype=jnp.float32)
         runner = serving_lib.build_forward(
             cfg, trainer, variables, infer_mesh, engine=args.engine,
-            calib_images=calib)
+            calib_images=calib, front=getattr(args, "front", "s2d"))
 
     def jfwd(batch):
         return runner(batch.get("image"), batch.get("tokens"),
@@ -586,7 +593,10 @@ def cmd_infer(args) -> int:
                                    dtype=jnp.float32)
         # The delta harness compares image-TOWER engines, so it takes the
         # tower subtree (for the joint model, variables["...InceptionV3"]).
-        summary["quantization_delta"] = quantization_delta(tower_vars, imgs)
+        summary["quantization_delta"] = quantization_delta(
+            tower_vars, imgs,
+            stem_s2d="pre" if getattr(args, "front", "s2d") == "s2d"
+            else False)
     print(json.dumps(summary))
     return 0
 
@@ -647,7 +657,9 @@ def cmd_serve(args) -> int:
                 resize_method=cfg.data.resize_method, dtype=jnp.float32)
         runner = serving_lib.build_forward(cfg, trainer, variables,
                                            serve_mesh, engine=args.engine,
-                                           calib_images=calib)
+                                           calib_images=calib,
+                                           front=getattr(args, "front",
+                                                         "s2d"))
 
     predictor = BatchedPredictor(
         runner, B, host_size=S,
@@ -940,15 +952,25 @@ def cmd_tune(args) -> int:
     if args.engine == "int8":
         from tumblr_emotions_tpu.ops.quant import QuantizedInceptionV3
 
+        # The shipped headline config (ops/serving.build_forward
+        # front="s2d" == the program bench.py measures): s2d-emitting
+        # preprocess + the stem_s2d="pre" conv rewrite.
         calib = preprocess_for_eval(raw[:64], dtype=jnp.float32)
-        engine = QuantizedInceptionV3(variables, calib, epilogue="shift")
+        engine = QuantizedInceptionV3(variables, calib, epilogue="shift",
+                                      stem_s2d="pre")
     else:
         from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
 
         engine = FusedInceptionV3(variables, dtype=jnp.bfloat16)
 
     def serving_program(raw_u8):
-        x = preprocess_for_eval(raw_u8, dtype=jnp.bfloat16)
+        from tumblr_emotions_tpu.data.preprocessing import \
+            preprocess_for_eval_s2d
+
+        if getattr(engine, "stem_s2d", False) == "pre":
+            x = preprocess_for_eval_s2d(raw_u8, dtype=jnp.bfloat16)
+        else:
+            x = preprocess_for_eval(raw_u8, dtype=jnp.bfloat16)
         logits, _ = engine(x)
         return logits.astype(jnp.float32).sum()
 
@@ -1044,6 +1066,11 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--engine", choices=["int8", "bf16", "parity"],
                    default="int8")
+    p.add_argument("--front", choices=["s2d", "uint8", "float"],
+                   default="s2d",
+                   help="int8 preprocess front: s2d (benchmarked headline "
+                        "config, default), uint8 (all-int8, lowest HBM), "
+                        "float (normal layout)")
     p.add_argument("--out", default="", help="output JSONL path")
     p.add_argument("--validate", action="store_true",
                    help="also report int8-vs-bf16 quantization deltas")
@@ -1056,6 +1083,11 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--engine", choices=["int8", "bf16", "parity"],
                    default="int8")
+    p.add_argument("--front", choices=["s2d", "uint8", "float"],
+                   default="s2d",
+                   help="int8 preprocess front: s2d (benchmarked headline "
+                        "config, default), uint8 (all-int8, lowest HBM), "
+                        "float (normal layout)")
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080,
                    help="0 binds an ephemeral port (printed as JSON)")

@@ -744,22 +744,26 @@ class QuantizedInceptionV3:
 
 
 def quantization_delta(variables: Dict, images: jax.Array,
-                       calibration_images: Optional[jax.Array] = None
-                       ) -> Dict[str, float]:
+                       calibration_images: Optional[jax.Array] = None,
+                       **engine_kwargs) -> Dict[str, float]:
     """Accuracy-delta harness: int8 engine vs the bf16 reference engine.
 
     Returns top-1 agreement rate and max/mean |prob delta| over ``images``
     (preprocessed).  Run this on a representative sample before serving the
-    int8 path.
+    int8 path.  ``engine_kwargs`` configure the quantized engine under test
+    (e.g. ``stem_s2d="pre"`` validates the shipped serving/bench config —
+    the harness relayouts ``images`` to the s2d layout the engine expects).
     """
     from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
 
     ref = FusedInceptionV3(variables, dtype=jnp.bfloat16, use_pallas=False)
     qeng = QuantizedInceptionV3(
         variables, calibration_images if calibration_images is not None
-        else images)
+        else images, **engine_kwargs)
+    q_in = (_space_to_depth_2x2(images) if qeng.stem_s2d == "pre"
+            else images)
     ref_logits, _ = jax.jit(lambda x: ref(x))(images)
-    q_logits, _ = jax.jit(lambda x: qeng(x))(images)
+    q_logits, _ = jax.jit(lambda x: qeng(x))(q_in)
     p_ref = jax.nn.softmax(ref_logits.astype(jnp.float32), axis=-1)
     p_q = jax.nn.softmax(q_logits.astype(jnp.float32), axis=-1)
     agree = float(jnp.mean(

@@ -39,7 +39,8 @@ from tumblr_emotions_tpu.utils.compile_opts import tpu_jit
 def _forward(engine, raw_u8, from_uint8: bool, preprocess_dtype,
              image_size: int = 299, central_fraction: float = 0.875,
              resize_method: str = "tf1"):
-    from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
+    from tumblr_emotions_tpu.data.preprocessing import (
+        preprocess_for_eval, preprocess_for_eval_s2d)
 
     if from_uint8:
         if not hasattr(engine, "forward_from_uint8"):
@@ -51,9 +52,24 @@ def _forward(engine, raw_u8, from_uint8: bool, preprocess_dtype,
             raise ValueError(
                 "the int8-GEMM preprocess implements the TF1 resize only; "
                 f"resize_method={resize_method!r} needs from_uint8=False")
+        if getattr(engine, "stem_s2d", False) == "pre":
+            raise ValueError(
+                'from_uint8 serving feeds the normal [H,W,3] layout; an '
+                'engine built with stem_s2d="pre" expects the '
+                'space-to-depth layout (use from_uint8=False)')
         return engine.forward_from_uint8(
             raw_u8, height=image_size, width=image_size,
             central_fraction=central_fraction)
+    if getattr(engine, "stem_s2d", False) == "pre":
+        # The benchmarked headline config (bench.py, docs/PERFORMANCE.md
+        # round 4): the resize einsums emit the 2x2 space-to-depth layout
+        # at zero extra cost and conv1a runs as the K=12 stride-1 rewrite
+        # (+0.9% whole-engine vs the normal layout, measured interleaved).
+        x = preprocess_for_eval_s2d(raw_u8, image_size, image_size,
+                                    central_fraction=central_fraction,
+                                    resize_method=resize_method,
+                                    dtype=preprocess_dtype)
+        return engine(x)
     x = preprocess_for_eval(raw_u8, image_size, image_size,
                             central_fraction=central_fraction,
                             resize_method=resize_method,
@@ -102,7 +118,7 @@ def data_parallel_server(engine, mesh,
 
 
 def build_forward(cfg, trainer, variables, mesh, engine: str = "int8",
-                  calib_images=None) -> Callable:
+                  calib_images=None, front: str = "s2d") -> Callable:
     """One constructor for every served program shape.
 
     Returns ``runner(image_u8, tokens, lengths) -> probs [B, C]`` over the
@@ -112,7 +128,22 @@ def build_forward(cfg, trainer, variables, mesh, engine: str = "int8",
     :class:`tumblr_emotions_tpu.server.BatchedPredictor`.  Unused inputs
     are passed as None.  ``calib_images`` (f32, preprocessed, [N,299,299,3])
     calibrates the int8 engine's activation scales.
+
+    ``front`` picks the int8 engine's preprocess front (ignored for
+    bf16/parity, which always run the float preprocess):
+
+    - ``"s2d"`` (default): bf16 preprocess emitting the space-to-depth
+      layout + the stem_s2d="pre" conv rewrite — the exact program
+      ``bench.py`` benchmarks (10,162 img/s headline, docs/PERFORMANCE.md
+      round 4; the uint8 front measured 0.5% slower, the normal-layout
+      float front 0.9% slower).
+    - ``"uint8"``: all-int8 front half (central crop, int8-GEMM TF1
+      resize, fused input quantization — no float image tensor in HBM;
+      TF1 resize only).  Lowest HBM footprint.
+    - ``"float"``: normal-layout bf16 preprocess (round-3 default).
     """
+    if front not in ("s2d", "uint8", "float"):
+        raise ValueError(f"unknown front {front!r}; expected s2d|uint8|float")
     from tumblr_emotions_tpu.data.preprocessing import preprocess_for_eval
 
     if cfg.model == "text" or engine == "parity":
@@ -149,12 +180,13 @@ def build_forward(cfg, trainer, variables, mesh, engine: str = "int8",
         if calib_images is None:
             raise ValueError("int8 serving needs calib_images (a "
                              "preprocessed f32 calibration batch)")
-        eng = QuantizedInceptionV3(tower_vars, calib_images,
-                                   epilogue="shift")
-        # The all-int8 front half implements the TF1 resize only; a
+        # The all-int8 uint8 front implements the TF1 resize only; a
         # non-default resize_method falls back to the float preprocess
         # feeding the same int8 tower (numerics identical to eval).
-        from_uint8 = (cfg.data.resize_method == "tf1")
+        from_uint8 = (front == "uint8" and cfg.data.resize_method == "tf1")
+        eng = QuantizedInceptionV3(
+            tower_vars, calib_images, epilogue="shift",
+            stem_s2d="pre" if front == "s2d" else False)
     elif engine == "bf16":
         from tumblr_emotions_tpu.ops.inference import FusedInceptionV3
 
