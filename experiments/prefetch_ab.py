@@ -16,9 +16,19 @@ joint train step (B, perf mode, fused train preprocessing):
             production host with enough decode workers lands in.
 
 Each arm runs prefetch depth {0, 2} interleaved twice so service drift
-cancels.  Run: python experiments/prefetch_ab.py [B] [steps]
+cancels.  Runs are ISOLATED: every stream is close()d (or dropped and
+gc'd) before the next timed window starts — the first version of this
+experiment abandoned the records-arm prefetcher mid-decode, so its
+producer thread's in-flight JPEG work bled into the next window on this
+1-core host and corrupted both arms (ledgered as a measurement bug).  A
+one-time host->device transfer probe is printed first so the arm rates
+can be attributed: on this tunneled single-chip sandbox the device_put
+of a uint8 train batch is itself a large fraction of the loop.
+
+Run: python experiments/prefetch_ab.py [B] [steps] [--probe-only]
 """
 
+import gc
 import io
 import json
 import os
@@ -57,8 +67,9 @@ def main() -> int:
     from tumblr_emotions_tpu.parallel import mesh as mesh_lib
     from tumblr_emotions_tpu.train import Trainer
 
-    B = int(sys.argv[1]) if len(sys.argv) > 1 else 64
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 24
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    B = int(pos[0]) if len(pos) > 0 else 64
+    steps = int(pos[1]) if len(pos) > 1 else 24
     host_side = 347
 
     cfg = get_preset("joint_finetune")
@@ -98,7 +109,15 @@ def main() -> int:
             st, m = trainer._compiled_train(st, batch, rng)
             n += 1
         float(m["loss"])
-        return B * n / (time.perf_counter() - t0), st
+        rate = B * n / (time.perf_counter() - t0)
+        # Isolate windows: stop the producer thread (and its in-flight
+        # decode work) before the next window is timed.
+        if hasattr(stream, "close"):
+            stream.close()
+        del stream
+        gc.collect()
+        time.sleep(1.0)
+        return rate, st
 
     def records_stream(depth):
         raw = pipeline.batches(pattern, vocab, pcfg)
@@ -115,6 +134,45 @@ def main() -> int:
             return pipeline.DevicePrefetchIterator(gen(), trainer.mesh,
                                                    depth=depth)
         return (mesh_lib.shard_batch(trainer.mesh, b) for b in gen())
+
+    # One-time context probe: pure host->device transfer rate for this
+    # batch (the tunnel link on this sandbox), and pure device step rate.
+    # Steps are timed INDIVIDUALLY with a block after each, after three
+    # un-timed settling steps that chain the OUTPUT state: the first
+    # version timed an 8-step window whose first call recompiled (the
+    # donated init-layout state differs from the output-layout state), so
+    # it reported 67 s/step against arm loops running at ~1 s/step —
+    # ledgered as a measurement bug.  Median of per-step times is immune
+    # to a one-off recompile and the per-step list makes one visible.
+    dev = jax.devices()[0]
+    nbytes = sum(v.nbytes for v in ram[0].values())
+    t0 = time.perf_counter()
+    for i in range(4):
+        jax.block_until_ready(
+            {k: jax.device_put(v, dev) for k, v in ram[i % len(ram)].items()})
+    put_s = (time.perf_counter() - t0) / 4
+    on_dev = mesh_lib.shard_batch(trainer.mesh, ram[0])
+    st2, m2 = trainer._compiled_train(state, on_dev, rng)
+    for _ in range(3):  # settle output layouts before timing
+        st2, m2 = trainer._compiled_train(st2, on_dev, rng)
+    float(m2["loss"])
+    per_step = []
+    for _ in range(8):
+        t0 = time.perf_counter()
+        st2, m2 = trainer._compiled_train(st2, on_dev, rng)
+        float(m2["loss"])
+        per_step.append(time.perf_counter() - t0)
+    step_s = float(np.median(per_step))
+    state = st2
+    print(json.dumps({
+        "probe": {"batch_mb": round(nbytes / 2**20, 1),
+                  "device_put_s": round(put_s, 3),
+                  "device_put_mb_s": round(nbytes / 2**20 / put_s, 1),
+                  "train_step_s": round(step_s, 4),
+                  "train_step_s_each": [round(s, 3) for s in per_step],
+                  "step_img_s": round(B / step_s, 1)}}), flush=True)
+    if "--probe-only" in sys.argv:
+        return 0
 
     # warm both step shapes once (compile outside timed windows)
     _, state = run(ram_stream(0), state)

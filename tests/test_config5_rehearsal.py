@@ -94,6 +94,10 @@ def _train_argv(corpus, vocab_path, ckpt_dir, log_dir):
         "--checkpoint-every", str(CKPT_EVERY), "--log-every", "5",
         "--image-size", "75", "--depth-multiplier", "0.25", "--no-aux",
         "--max-len", "10", "--seed", "3", "--precision", "parity",
+        # Pinned ON (the shipped default is 0, round-5 A/B): this test is
+        # the coverage for resume-through-the-prefetch-wrapper, so it must
+        # keep exercising the consumed-position path.
+        "--prefetch-depth", "2",
     ]
 
 

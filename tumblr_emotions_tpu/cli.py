@@ -1038,9 +1038,14 @@ def main(argv=None) -> int:
                                 "summaries (in-train eval)")
             p.add_argument("--eval-csv", default="",
                            help="eval-split posts CSV (text-only models)")
-            p.add_argument("--prefetch-depth", type=int, default=2,
+            p.add_argument("--prefetch-depth", type=int, default=0,
                            help="device batches kept in flight by the "
-                                "background feeder (0 disables prefetch)")
+                                "background feeder (0 disables prefetch; "
+                                "the measured default — the round-5 A/B "
+                                "found depth 2 at 0.90x of inline feed on "
+                                "a single-core host, docs/PERFORMANCE.md; "
+                                "re-A/B on multi-core pod hosts where "
+                                "decode/transfer overlap has headroom)")
         if name == "eval":
             p.add_argument("--follow", action="store_true",
                            help="continuous mode: evaluate each new "
